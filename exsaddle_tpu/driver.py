@@ -1,0 +1,328 @@
+"""Driver: end-to-end saddle solve, the equivalent of exSaddle.c's
+SaddleSolve_Q2Q1 (exSaddle.c:124-566).
+
+Pipeline: options -> MG mesh hierarchy -> BC lists -> coefficient evaluation
++ Q1 projection + restriction chain -> per-level assembly with Dirichlet
+elimination -> RHS -> solver tree from options -> solve -> diagnostics /
+error checks / dumps. Output lines reproduce the reference's stdout so runs
+can be diffed against testref/."""
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from exsaddle_tpu import io as esio
+from exsaddle_tpu import models as emodels
+from exsaddle_tpu import solver_config as sc
+from exsaddle_tpu.assembly import (FESpace, assemble_element_matrices,
+                                   assemble_rhs, assemble_schur_pre,
+                                   scatter_vector, project_qp_to_q1,
+                                   interp_q1_to_qp)
+from exsaddle_tpu.krylov import KSPConfig
+from exsaddle_tpu.mesh import SaddleMesh
+from exsaddle_tpu.operator import (apply_dirichlet_elimination,
+                                   PressureOperator)
+from exsaddle_tpu.precond_mg import Prolongation, BlockDiagProlongation
+from exsaddle_tpu.options import Options
+
+
+@dataclass
+class LevelData:
+    mesh: SaddleMesh
+    fes: FESpace
+    coeff_qp: dict          # per-qp coefficient dict (post-projection)
+    op: object = None       # SaddleOperator
+    rhs_diri: object = None
+    bc_idx: object = None
+    bc_vals: object = None
+
+
+def _coefficient_pipeline(levels, ctx):
+    """FEMixedSpaceDefineQPwiseProperties_Q1Projection
+    (femixedspace.c:1937-2266): evaluate at fine qps, project to Q1 nodes,
+    re-interpolate; coarse levels by scaled restriction of the nodal fields.
+    """
+    nlev = len(levels)
+    fine = levels[-1]
+    pts = fine.fes.qp_coords.reshape(-1, ctx.ndim)
+    c = emodels.evaluate_coefficients(ctx, pts).reshape(
+        fine.mesh.nel, fine.fes.nqp, -1)
+    nodal = project_qp_to_q1(fine.fes, c)
+    fine.coeff_qp = _qp_dict(ctx, interp_q1_to_qp(fine.fes, nodal))
+
+    nodal_f = nodal
+    for k in range(nlev - 2, -1, -1):
+        P = Prolongation(levels[k].mesh.nn_p, levels[k + 1].mesh.nn_p, dof=1)
+        scale = np.asarray(P.restriction_scale())
+        nodal_c = np.stack(
+            [np.asarray(P.restrict(jnp.asarray(nodal_f[:, j]))) * scale
+             for j in range(nodal_f.shape[1])], axis=1)
+        levels[k].coeff_qp = _qp_dict(
+            ctx, interp_q1_to_qp(levels[k].fes, nodal_c))
+        nodal_f = nodal_c
+
+
+def _qp_dict(ctx, cq):
+    nel, nqp, _ = cq.shape
+    d = emodels.unpack_coefficients(ctx, cq.reshape(nel * nqp, -1))
+    out = {"Fu": d["Fu"].reshape(nel, nqp, ctx.ndim),
+           "Fp": d["Fp"].reshape(nel, nqp)}
+    if ctx.lame:
+        out["mu"] = d["mu"].reshape(nel, nqp)
+        out["lambda"] = d["lambda"].reshape(nel, nqp)
+    else:
+        out["eta"] = d["eta"].reshape(nel, nqp)
+    return out
+
+
+def _make_saddle_matshell(lv, lame):
+    """MatShell for a level's saddle operator, with fieldsplit block info
+    and velocity-grid MG info attached."""
+    op = lv.op
+    mesh = lv.mesh
+    mult = jax.jit(op.mult)
+    A00 = sc.MatShell(
+        mesh.nu, jax.jit(op.mult_u),
+        diagonal=lambda: np.asarray(op.diagonal())[: mesh.nu],
+        csr=lambda: op.to_csr()[: mesh.nu, : mesh.nu].tocsr(),
+        mg_info={"node_nn": mesh.nn_u, "dof": mesh.ndim})
+    A11p = sc.MatShell(
+        mesh.np_, jax.jit(op.mult_p),
+        diagonal=lambda: np.asarray(op.diagonal())[mesh.nu:],
+        csr=lambda: op.to_csr()[mesh.nu:, mesh.nu:].tocsr())
+    Sel = assemble_schur_pre(lv.fes, lv.coeff_qp, lame=lame)
+    pop = PressureOperator(S=jnp.asarray(Sel),
+                           p_el_nodes=jnp.asarray(mesh.p_el_nodes),
+                           n=mesh.np_)
+    Sp = sc.MatShell(mesh.np_, jax.jit(pop.mult),
+                     diagonal=lambda: np.asarray(pop.diagonal()),
+                     csr=pop.to_csr)
+    fieldsplit = {"A00": A00, "A11": A11p,
+                  "mult_up": jax.jit(op.mult_up),
+                  "mult_pu": jax.jit(op.mult_pu), "Sp": Sp}
+    amat = sc.MatShell(mesh.ndof, mult,
+                       diagonal=lambda: np.asarray(op.diagonal()),
+                       csr=op.to_csr, fieldsplit=fieldsplit)
+    amat.Sp = Sp
+    return amat
+
+
+def saddle_solve(opts, ndim, lame=False, log=print):
+    """The reference's SaddleSolve_Q2Q1: returns a results dict."""
+    mx = opts.get_int("mx", 4)
+    my = opts.get_int("my", mx)
+    mz = opts.get_int("mz", mx)
+    size = [opts.get_real("size_x", 1.0), opts.get_real("size_y", 1.0)]
+    if ndim == 3:
+        size.append(opts.get_real("size_z", 1.0))
+    fs = opts.get_bool("fs", False)
+    mg = opts.get_bool("mg", False)
+    fs_coarse = opts.get_bool("fs_coarse", False)
+    opts.get_bool("set_ksp_dm", False)   # consumed; DM-attachment is implicit
+    nlevels = opts.get_int("nlevels", 1)
+    refinefactor = opts.get_int("refinefactor", 2)
+    diagnostics = opts.get_bool("diagnostics", False)
+    view_fields = opts.get_bool("view_fields", False)
+    dump_solution = opts.get_bool("dump_solution", False)
+    dump_operator = opts.get_bool("dump_operator", False)
+    twosolves = opts.get_bool("twosolves", False)
+    check_solution = opts.get_bool("check_solution", False)
+    nullspace_flag = opts.get_bool("constant_pressure_nullspace", False)
+
+    if fs and mg:
+        raise ValueError("both -fs and -mg supplied")
+    if nlevels < 1:
+        raise ValueError("-nlevels < 1 supplied")
+    if nlevels > 1 and fs:
+        raise ValueError("-nlevels > 1 specified with -fs")
+    if nlevels > 1 and not mg:
+        raise ValueError("-nlevels > 1 specified without -mg")
+    if nlevels < 2 and mg:
+        raise ValueError("-nlevels < 2 specified with -mg")
+    if fs_coarse and not mg:
+        raise ValueError("-fs_coarse supplied without -mg")
+
+    m_el = (mx, my) if ndim == 2 else (mx, my, mz)
+    ratio = refinefactor ** (nlevels - 1)
+    if nlevels > 1:
+        for m in m_el:
+            if ratio > m or m % ratio:
+                raise ValueError(
+                    "Coarsening ratio incompatible with problem size")
+    coarse_el = tuple(m // ratio for m in m_el)
+
+    ctx = emodels.ModelContext(opts, ndim, lame=lame, log=log)
+
+    # --- levels, coarse -> fine (exSaddle.c:226-239) ---
+    levels = []
+    for k in range(nlevels):
+        f = refinefactor ** k
+        mesh = SaddleMesh(ndim, tuple(m * f for m in coarse_el), tuple(size))
+        fes = FESpace(mesh)
+        bc_idx, bc_vals = emodels.create_bc_list(ctx, mesh)
+        # raw banner-order parity: model evaluation banner fires on the
+        # coarsest level's qp evaluation
+        emodels.evaluate_coefficients(
+            ctx, fes.qp_coords.reshape(-1, ndim)[:1])
+        lv = LevelData(mesh=mesh, fes=fes, coeff_qp=None)
+        lv.bc_idx, lv.bc_vals = bc_idx, bc_vals
+        levels.append(lv)
+
+    _coefficient_pipeline(levels, ctx)
+
+    # --- assembly per level (exSaddle.c:265-270) ---
+    for k, lv in enumerate(levels):
+        elm = assemble_element_matrices(lv.fes, lv.coeff_qp, lame=lame)
+        lv.op, lv.rhs_diri, _, _ = apply_dirichlet_elimination(
+            lv.mesh, elm, lv.bc_idx, lv.bc_vals)
+    fine = levels[-1]
+    mesh = fine.mesh
+
+    # --- RHS (exSaddle.c:273-282) ---
+    f1, f2 = assemble_rhs(fine.fes, fine.coeff_qp["Fu"], fine.coeff_qp["Fp"])
+    F = scatter_vector(mesh, f1, f2)
+    F[: mesh.nu][fine.bc_idx] = fine.bc_vals
+    F = F + fine.rhs_diri
+    F = jnp.asarray(F)
+
+    # --- nullspace (exSaddle.c:288-301) ---
+    nullvec = None
+    if nullspace_flag:
+        nullvec = np.zeros(mesh.ndof)
+        nullvec[mesh.nu:] = -1.0 / np.sqrt(mesh.np_)
+
+    # --- solver tree ---
+    amat = _make_saddle_matshell(fine, lame)
+    prefix = "saddle_"
+    pc_forced = None
+    pc_default = "ilu"
+    if fs:
+        pc_default = "fieldsplit"
+    if mg:
+        if opts.get_string("pc_type", None, prefix=prefix) is None:
+            pc_forced = _build_saddle_mg(opts, prefix, levels, lame,
+                                         fs_coarse, log=log)
+        # else: options select the top PC (none of the reference tests do)
+
+    ksp = sc.make_ksp(opts, prefix, amat,
+                      ksp_defaults=KSPConfig(type="gmres"),
+                      pc_default=pc_default, pc_forced=pc_forced,
+                      nullspace=nullvec, log=log)
+    result = ksp.solve(F)
+    X = result.x
+
+    if twosolves:
+        _extra_solves(ksp, F, log=log)
+
+    # --- check solution (exSaddle.c:431-474) ---
+    if check_solution:
+        Xref = emodels.compute_reference_solution(ctx, mesh)
+        if Xref is not None:
+            Xref = jnp.asarray(Xref)
+            if nullvec is not None:
+                nv = jnp.asarray(nullvec)
+                Xref = Xref - jnp.dot(nv, Xref) * nv
+            err = Xref - X
+            abs_err = float(jnp.linalg.norm(err))
+            rel_err = abs_err / float(jnp.linalg.norm(Xref))
+            log("---------------------")
+            log("Error in solution:")
+            log(f"  abs {abs_err:g}")
+            log(f"  rel {rel_err:g}")
+            log("---------------------")
+            erru = err[: mesh.nu]
+            abs_erru = float(jnp.linalg.norm(erru))
+            rel_erru = abs_erru / float(jnp.linalg.norm(Xref[: mesh.nu]))
+            log("---------------------")
+            log("Error in velocity solution:")
+            log(f"  abs {abs_erru:g}")
+            log(f"  rel {rel_erru:g}")
+            log("---------------------")
+        else:
+            log("Warning: -check_solution supplied but no reference "
+                "solution available")
+
+    if diagnostics:
+        esio.report_solution_diagnostics(mesh, X, log=log)
+    if view_fields:
+        esio.view_fields(mesh, X, log=log)
+    if dump_solution:
+        esio.dump_solution(X, "solution.npy", log=log)
+    if dump_operator:
+        for k, lv in enumerate(levels):
+            esio.dump_operator(lv.op.to_csr(), f"operator_{k}.npz", log=log)
+
+    if opts.get_bool("options_left", False):
+        log(opts.format_table().rstrip("\n"))
+
+    return {"X": X, "result": result, "mesh": mesh, "levels": levels,
+            "ksp": ksp, "F": F}
+
+
+def _build_saddle_mg(opts, prefix, levels, lame, fs_coarse, log=print):
+    """Programmatic monolithic saddle PCMG with per-level re-assembled
+    operators (PC_MG_GALERKIN_NONE) and composite interpolation
+    (exSaddle.c:333-402)."""
+    mats = [_make_saddle_matshell(lv, lame) for lv in levels]
+    prolongs = []
+    for k in range(len(levels) - 1):
+        Pu = Prolongation(levels[k].mesh.nn_u, levels[k + 1].mesh.nn_u,
+                          dof=levels[k].mesh.ndim)
+        Pp = Prolongation(levels[k].mesh.nn_p, levels[k + 1].mesh.nn_p, dof=1)
+        prolongs.append(BlockDiagProlongation(Pu, Pp))
+
+    coarse_pc_forced = None
+    if fs_coarse:
+        coarse_pc_forced = sc.make_fieldsplit(
+            opts, prefix + "mg_coarse_", mats[0], log=log)
+    return sc.build_mg(opts, prefix, mats, prolongs,
+                       coarse_pc_forced=coarse_pc_forced, log=log)
+
+
+def _extra_solves(ksp, F, log=print):
+    """-twosolves (exSaddle.c:569-618): re-solve with monitoring cancelled in
+    a fresh stage."""
+    from exsaddle_tpu.krylov import Reason
+    num_extra = 1
+    saved_monitor = ksp.cfg.monitor
+    saved_reason = ksp.cfg.converged_reason_log
+    ksp.cfg.monitor = None
+    ksp.cfg.converged_reason_log = None
+    log("")
+    log("-" * 78)
+    log(f"  Commencing with {num_extra} additional solves. This will cancel"
+        " a KSP monitor set on\n   saddle_, but no nested output. You should"
+        " ensure that there is no output between\n   this output and the"
+        " output which indicates the extra solves are completed. That\n   "
+        "is, you should not use any ksp_view, ksp_converged_reason, or "
+        "nested ksp_monitor\n   options if you want the results in this "
+        "test to be meaningful.")
+    log("-" * 77)
+    res = None
+    for _ in range(num_extra):
+        res = ksp.solve(F)
+    if Reason.is_converged(res.reason):
+        log("")
+        log("-" * 78)
+        log(f"  {num_extra} extra solve(s) succeeded with {res.its} "
+            f"iterations and residual norm {res.rnorm:1.6e} ")
+        log("-" * 77)
+    else:
+        log("")
+        log("-" * 78)
+        log("\n ERROR: EXTRA SOLVES(S) DIVERGED!")
+        log("-" * 78)
+    ksp.cfg.monitor = saved_monitor
+    ksp.cfg.converged_reason_log = saved_reason
+    return res
+
+
+def main(argv=None, ndim=2, lame=False):
+    """CLI entry point (exSaddle{2d,3d}[_lame] equivalents)."""
+    import sys
+    args = sys.argv[1:] if argv is None else argv
+    opts = Options.from_args(args)
+    jax.config.update("jax_enable_x64", True)
+    saddle_solve(opts, ndim, lame=lame)

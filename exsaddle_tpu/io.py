@@ -1,0 +1,104 @@
+"""Diagnostics and output, byte-matching the reference's formats.
+
+Capability parity with exSaddle_io.c: SaddleReportSolutionDiagnostics
+(per-component solution norms, exSaddle_io.c:7-58), solution/operator dumps
+(numpy .npz in place of PETSc binary), and VTK structured-grid output
+(ViewFields, exSaddle_io.c:129-177)."""
+
+import numpy as np
+
+
+def report_solution_diagnostics(mesh, X, log=print):
+    """-diagnostics output (exSaddle_io.c:7-58), exact PETSc formats."""
+    nd = mesh.ndim
+    Xu = np.asarray(X[: mesh.nu]).reshape(-1, nd)
+    Xp = np.asarray(X[mesh.nu:])
+
+    def f(v):
+        return f"{v:+1.6e}"
+
+    n1 = np.abs(Xu).sum(axis=0)
+    n2 = np.sqrt((Xu ** 2).sum(axis=0))
+    ninf = np.abs(Xu).max(axis=0)
+    vmin = Xu.min(axis=0)
+    vmax = Xu.max(axis=0)
+    if nd == 2:
+        log(f"|u,v|_1   {f(n1[0])} , {f(n1[1])} ")
+        log(f"|u,v|_2   {f(n2[0])} , {f(n2[1])} ")
+        log(f"|u,v|_inf {f(ninf[0])} , {f(ninf[1])} ")
+        log(f"|u,v|_min {f(vmin[0])} , {f(vmin[1])} ")
+        log(f"|u,v|_max {f(vmax[0])} , {f(vmax[1])} ")
+    else:
+        log(f"|u,v,w|_1   {f(n1[0])} , {f(n1[1])} , {f(n1[2])}")
+        log(f"|u,v,w|_2   {f(n2[0])} , {f(n2[1])} , {f(n2[2])}")
+        log(f"|u,v,w|_inf {f(ninf[0])} , {f(ninf[1])} , {f(ninf[2])}")
+        log(f"|u,v,w|_min {f(vmin[0])} , {f(vmin[1])} , {f(vmin[2])}")
+        log(f"|u,v,w|_max {f(vmax[0])} , {f(vmax[1])} , {f(vmax[2])}")
+    log(f"|p|_1          {f(np.abs(Xp).sum())}")
+    log(f"|p|_2          {f(np.sqrt((Xp ** 2).sum()))}")
+    log(f"|p|_inf        {f(np.abs(Xp).max())}")
+    log(f"|p|_min        {f(Xp.min())}")
+    log(f"|p|_max        {f(Xp.max())}")
+
+
+def dump_solution(X, name, log=print):
+    """-dump_solution (numpy format in place of PETSc binary)."""
+    log(f"Dumping solution vector to {name}.")
+    np.save(name, np.asarray(X))
+    log(f"Finished dumping vector to {name}.")
+
+
+def dump_operator(A_csr, name, log=print):
+    """-dump_operator: CSR arrays in an .npz."""
+    log(f"Dumping operator to {name}. This could be very slow!")
+    np.savez(name, data=A_csr.data, indices=A_csr.indices,
+             indptr=A_csr.indptr, shape=A_csr.shape)
+    log(f"Finished dumping operator to {name}.")
+
+
+def _vts_scalar_block(name, values):
+    vals = " ".join(f"{v:.6e}" for v in values)
+    return (f'        <DataArray type="Float64" Name="{name}" '
+            f'format="ascii">\n          {vals}\n        </DataArray>\n')
+
+
+def write_vts(fname, nn, coords, fields):
+    """Minimal VTK XML StructuredGrid writer (ViewFields equivalent).
+
+    nn: node counts per dim; coords: (nnodes, ndim); fields: {name: (nnodes,)}
+    """
+    ndim = len(nn)
+    ext = f"0 {nn[0] - 1} 0 {nn[1] - 1} 0 {nn[2] - 1 if ndim == 3 else 0}"
+    with open(fname, "w") as fp:
+        fp.write('<?xml version="1.0"?>\n')
+        fp.write('<VTKFile type="StructuredGrid" version="0.1" '
+                 'byte_order="LittleEndian">\n')
+        fp.write(f'  <StructuredGrid WholeExtent="{ext}">\n')
+        fp.write(f'    <Piece Extent="{ext}">\n')
+        fp.write('      <Points>\n')
+        pts = np.zeros((len(coords), 3))
+        pts[:, :ndim] = coords
+        flat = " ".join(f"{v:.6e}" for v in pts.ravel())
+        fp.write('        <DataArray type="Float64" '
+                 'NumberOfComponents="3" format="ascii">\n')
+        fp.write(f"          {flat}\n        </DataArray>\n")
+        fp.write('      </Points>\n')
+        fp.write('      <PointData>\n')
+        for name, vals in fields.items():
+            fp.write(_vts_scalar_block(name, np.asarray(vals)))
+        fp.write('      </PointData>\n')
+        fp.write('    </Piece>\n  </StructuredGrid>\n</VTKFile>\n')
+
+
+def view_fields(mesh, X, tag="", log=print):
+    """-view_fields: u/v(/w) on the Q2 grid, p on the Q1 grid
+    (exSaddle_io.c:129-177)."""
+    nd = mesh.ndim
+    Xu = np.asarray(X[: mesh.nu]).reshape(-1, nd)
+    fields = {"u": Xu[:, 0], "v": Xu[:, 1]}
+    if nd == 3:
+        fields["w"] = Xu[:, 2]
+    name = f"{tag}uv.vts" if nd == 2 else f"{tag}uvw.vts"
+    write_vts(name, mesh.nn_u, mesh.u_coords, fields)
+    write_vts(f"{tag}p.vts", mesh.nn_p, mesh.p_coords,
+              {"p": np.asarray(X[mesh.nu:])})

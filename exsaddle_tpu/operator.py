@@ -67,6 +67,38 @@ class SaddleOperator:
         y = jnp.concatenate([yu, yp])
         return y + self.bc_mask * x                  # unit diagonal on BC rows
 
+    # --- block applies (for PCFIELDSPLIT sub-solves; the blocks of the
+    # BC-eliminated matrix, as PETSc's MatCreateSubMatrix would extract) ----
+    def mult_u(self, xu):
+        """A00 xu (velocity block, unit diagonal on BC rows)."""
+        xue = xu[self.u_el_dofs]
+        yue = jnp.einsum("eij,ej->ei", self.A11, xue)
+        yu = jnp.zeros(self.nu, xu.dtype).at[self.u_el_dofs.ravel()].add(
+            yue.ravel())
+        return yu + self.bc_mask[: self.nu] * xu
+
+    def mult_up(self, xp):
+        """A01 xp (gradient block, BC rows zeroed)."""
+        xpe = xp[self.p_el_nodes]
+        yue = jnp.einsum("eij,ej->ei", self.A12, xpe)
+        return jnp.zeros(self.nu, xp.dtype).at[self.u_el_dofs.ravel()].add(
+            yue.ravel())
+
+    def mult_pu(self, xu):
+        """A10 xu (divergence block, BC columns zeroed)."""
+        xue = xu[self.u_el_dofs]
+        ype = jnp.einsum("eij,ej->ei", self.A21, xue)
+        return jnp.zeros(self.np_, xu.dtype).at[self.p_el_nodes.ravel()].add(
+            ype.ravel())
+
+    def mult_p(self, xp):
+        """A11 (pressure-pressure) block: zero for Stokes, -1/lambda mass for
+        Lame."""
+        xpe = xp[self.p_el_nodes]
+        ype = jnp.einsum("eij,ej->ei", self.A22, xpe)
+        return jnp.zeros(self.np_, xp.dtype).at[self.p_el_nodes.ravel()].add(
+            ype.ravel())
+
     def diagonal(self):
         """Assembled matrix diagonal (for PCJACOBI)."""
         d11 = jnp.einsum("eii->ei", self.A11)

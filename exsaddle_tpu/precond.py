@@ -1,0 +1,171 @@
+"""Preconditioners with reference-matching semantics.
+
+Capability parity with the PETSc PC subset the reference exercises
+(SURVEY.md section 2.2): Jacobi, ILU(0), LU, block-Jacobi, fieldsplit with
+Schur complement (UPPER factorization + user-provided Schur preconditioning
+matrix), and geometric multigrid (precond_mg.py).
+
+Setup (factorizations) runs host-side in numpy/scipy like PETSc's setup
+phase; applies are jnp ops so they participate in the device compute path.
+Factors of small systems are stored dense (triangular solves on the MXU);
+a level-scheduled sparse path can replace this for large blocks.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import jax.scipy.linalg as jsla
+
+
+class PCNone:
+    def apply(self, x):
+        return x
+
+
+class PCJacobi:
+    """PCJACOBI: y = x / diag(A); zero diagonal entries replaced by 1.0
+    (PCSetUp_Jacobi's zero-pivot guard)."""
+
+    def __init__(self, diag):
+        d = jnp.asarray(diag)
+        d = jnp.where(d == 0.0, 1.0, d)
+        self.inv_diag = 1.0 / d
+
+    def apply(self, x):
+        return self.inv_diag * x
+
+
+def ilu0_factor(A_csr):
+    """ILU(0) factorization of a scipy CSR matrix, natural ordering
+    (PETSc PCILU defaults: 0 levels of fill, no shifts).
+
+    Returns (L, U) as dense arrays: L unit-lower, U upper. Dense storage is a
+    deliberate setup-phase choice for the small blocks the reference
+    configures ILU on (pressure mass matrices, small velocity blocks)."""
+    A = A_csr.tocsr().sorted_indices()
+    n = A.shape[0]
+    indptr, indices, data = A.indptr, A.indices, A.data.copy()
+    # column position lookup per row for O(1) pattern queries
+    for i in range(n):
+        row_start, row_end = indptr[i], indptr[i + 1]
+        cols_i = indices[row_start:row_end]
+        pos_i = {c: row_start + k for k, c in enumerate(cols_i)}
+        for kk in range(row_start, row_end):
+            k = indices[kk]
+            if k >= i:
+                break
+            # a_ik /= u_kk
+            dk_pos = None
+            for t in range(indptr[k], indptr[k + 1]):
+                if indices[t] == k:
+                    dk_pos = t
+                    break
+            ukk = data[dk_pos]
+            if ukk == 0.0:
+                raise ZeroDivisionError(f"ILU(0) zero pivot at row {k}")
+            data[kk] /= ukk
+            a_ik = data[kk]
+            for t in range(dk_pos + 1, indptr[k + 1]):
+                j = indices[t]
+                pj = pos_i.get(j)
+                if pj is not None:
+                    data[pj] -= a_ik * data[t]
+    import scipy.sparse as sp
+    M = sp.csr_matrix((data, indices, indptr), shape=A.shape)
+    Md = M.toarray()
+    L = np.tril(Md, -1) + np.eye(n)
+    U = np.triu(Md)
+    return L, U
+
+
+class PCILU:
+    """PCILU: ILU(0), natural ordering. Apply: U \\ (L \\ x)."""
+
+    def __init__(self, A_csr):
+        L, U = ilu0_factor(A_csr)
+        self.L = jnp.asarray(L)
+        self.U = jnp.asarray(U)
+
+    def apply(self, x):
+        y = jsla.solve_triangular(self.L, x, lower=True, unit_diagonal=True)
+        return jsla.solve_triangular(self.U, y, lower=False)
+
+
+class PCLU:
+    """PCLU: exact (dense) LU with partial pivoting -- the stable direct
+    solve standing in for UMFPACK (Makefile:176-178 notes PETSc's sparse LU
+    is unstable for these saddle systems; dense LAPACK pivoting is)."""
+
+    def __init__(self, A_dense):
+        self.lu, self.piv = jsla.lu_factor(jnp.asarray(A_dense))
+
+    def apply(self, x):
+        return jsla.lu_solve((self.lu, self.piv), x)
+
+
+class PCBJacobi:
+    """PCBJACOBI with per-block sub-KSPs. On one shard this is a single
+    block whose sub-solver defaults to preonly+ILU(0), matching the
+    reference's view output (testref/exSaddle3d_pseudoice_1.ref bjacobi
+    section)."""
+
+    def __init__(self, sub_solvers, block_ranges):
+        self.subs = sub_solvers
+        self.ranges = block_ranges
+
+    def apply(self, x):
+        parts = []
+        for ksp, (lo, hi) in zip(self.subs, self.ranges):
+            parts.append(ksp.solve(x[lo:hi]).x)
+        return jnp.concatenate(parts)
+
+
+class PCKSP:
+    """Adapter: use a KSP solve as a PC apply (used for fieldsplit splits
+    and MG coarse solves)."""
+
+    def __init__(self, ksp):
+        self.ksp = ksp
+
+    def apply(self, x):
+        return self.ksp.solve(x).x
+
+
+class SchurComplementApply:
+    """MatSchurComplement: y = A11 x - A10 inv(A00) A01 x with inv(A00)
+    applied by the fieldsplit's A00 KSP (fieldsplit.c Schur setup; view:
+    'KSP of A00')."""
+
+    def __init__(self, mult_p, mult_up, mult_pu, ksp_A00):
+        self.mult_p = mult_p      # xp -> A11 xp
+        self.mult_up = mult_up    # xp -> A01 xp (into u space)
+        self.mult_pu = mult_pu    # xu -> A10 xu (into p space)
+        self.ksp_A00 = ksp_A00
+
+    def __call__(self, xp):
+        t = self.mult_up(xp)
+        w = self.ksp_A00.solve(t).x
+        return self.mult_p(xp) - self.mult_pu(w)
+
+
+class PCFieldSplitSchurUpper:
+    """PCFIELDSPLIT, PC_COMPOSITE_SCHUR, PC_FIELDSPLIT_SCHUR_FACT_UPPER
+    (exSaddle.c:313-318):
+
+        y_p = kspschur^-1 b_p
+        y_u = kspA^-1 (b_u - A01 y_p)
+
+    kspschur has the true Schur complement as operator and a preconditioner
+    built from the user matrix Mpscaled (PC_FIELDSPLIT_SCHUR_PRE_USER)."""
+
+    def __init__(self, nu, ksp_A00, ksp_schur, mult_up):
+        self.nu = nu
+        self.ksp_A00 = ksp_A00
+        self.ksp_schur = ksp_schur
+        self.mult_up = mult_up
+
+    def apply(self, x):
+        bu = x[: self.nu]
+        bp = x[self.nu:]
+        yp = self.ksp_schur.solve(bp).x
+        yu = self.ksp_A00.solve(bu - self.mult_up(yp)).x
+        return jnp.concatenate([yu, yp])

@@ -1,0 +1,259 @@
+"""Build the solver tree from the options database.
+
+The functional replacement for PETSc's KSPSetFromOptions/PCSetFromOptions
+object system as the reference exercises it (exSaddle.c:303-422 + abf.opts +
+Makefile test flags): hierarchical prefixes address every node of the tree
+(e.g. saddle_fieldsplit_u_mg_levels_ksp_type). Defaults mirror PETSc's,
+validated against the solver trees printed in testref/ (-ksp_view in
+exSaddle3d_pseudoice_1.ref):
+
+  KSPCreate default: GMRES(restart 30, CGS) + ILU(0) [seq];
+  fieldsplit Schur splits: both default GMRES+ILU;
+  PCMG smoothers: Chebyshev(+esteig)/SOR, max_it 2, norm NONE, skip test;
+  PCMG coarse: preonly + LU, norm NONE.
+"""
+
+import numpy as np
+
+from exsaddle_tpu import precond
+from exsaddle_tpu import precond_mg
+from exsaddle_tpu.krylov import KSP, KSPConfig, make_monitor_short
+
+
+class MatShell:
+    """Minimal matrix abstraction: apply + lazily-cached derived forms."""
+
+    def __init__(self, n, apply, diagonal=None, csr=None, dense=None,
+                 fieldsplit=None, mg_info=None):
+        self.n = n
+        self.apply = apply
+        self._diagonal = diagonal    # callable or array
+        self._csr = csr              # callable or matrix
+        self._dense = dense
+        self.fieldsplit = fieldsplit  # dict, see make_pc("fieldsplit")
+        self.mg_info = mg_info        # dict, see make_pc("mg")
+
+    def diagonal(self):
+        if callable(self._diagonal):
+            self._diagonal = self._diagonal()
+        if self._diagonal is None:
+            raise ValueError("matrix has no diagonal extraction")
+        return self._diagonal
+
+    def csr(self):
+        if callable(self._csr):
+            self._csr = self._csr()
+        if self._csr is None:
+            raise ValueError("matrix has no CSR form")
+        return self._csr
+
+    def dense(self):
+        if self._dense is None:
+            self._dense = self.csr().toarray()
+        elif callable(self._dense):
+            self._dense = self._dense()
+        return self._dense
+
+
+def read_ksp_config(opts, prefix, defaults=None, log=print):
+    """KSPSetFromOptions: read KSP options under `prefix` on top of
+    programmatic defaults."""
+    cfg = defaults or KSPConfig()
+    g = lambda name, d: opts.get_string(name, d, prefix=prefix)
+    cfg.type = g("ksp_type", cfg.type)
+    cfg.rtol = opts.get_real("ksp_rtol", cfg.rtol, prefix=prefix)
+    cfg.abstol = opts.get_real("ksp_atol", cfg.abstol, prefix=prefix)
+    cfg.dtol = opts.get_real("ksp_divtol", cfg.dtol, prefix=prefix)
+    cfg.max_it = opts.get_int("ksp_max_it", cfg.max_it, prefix=prefix)
+    cfg.restart = opts.get_int("ksp_gmres_restart", cfg.restart,
+                               prefix=prefix)
+    cfg.pc_side = g("ksp_pc_side", cfg.pc_side)
+    cfg.norm_type = g("ksp_norm_type", cfg.norm_type)
+    cfg.convergence_test = g("ksp_convergence_test", cfg.convergence_test)
+    cfg.initial_guess_nonzero = opts.get_bool(
+        "ksp_initial_guess_nonzero", cfg.initial_guess_nonzero, prefix=prefix)
+    est = opts.get_real_list("ksp_chebyshev_esteig", None, prefix=prefix)
+    if est is not None:
+        cfg.cheb_esteig_transform = tuple(est)
+    if opts.get_bool("ksp_monitor_short", False, prefix=prefix):
+        cfg.monitor = make_monitor_short(prefix, log=log)
+    if opts.get_bool("ksp_converged_reason", False, prefix=prefix):
+        cfg.converged_reason_log = log
+    cfg.prefix = prefix
+    return cfg
+
+
+def make_ksp(opts, prefix, amat, pmat=None, ksp_defaults=None,
+             pc_default="ilu", pc_forced=None, nullspace=None, log=print):
+    """Create a KSP with its PC from options under `prefix`.
+
+    amat: MatShell operator; pmat: MatShell the PC is built from (defaults
+    to amat). pc_forced: programmatically-set PC object (overridable is not
+    needed by the reference tests that force PCs)."""
+    pmat = pmat or amat
+    cfg = read_ksp_config(opts, prefix, ksp_defaults, log=log)
+    if pc_forced is not None:
+        pc = pc_forced
+    else:
+        pc = make_pc(opts, prefix, amat, pmat, pc_default, nullspace=nullspace,
+                     log=log)
+    return KSP(amat.apply, pc, cfg, nullspace=nullspace)
+
+
+def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
+            log=print):
+    ptype = opts.get_string("pc_type", default_type, prefix=prefix)
+    # mark factor-package options as consumed (we always use our own
+    # factorizations in place of umfpack/petsc)
+    opts.get_string("pc_factor_mat_solver_type", None, prefix=prefix)
+
+    if ptype == "none":
+        return precond.PCNone()
+    if ptype == "jacobi":
+        return precond.PCJacobi(pmat.diagonal())
+    if ptype == "ilu":
+        return precond.PCILU(pmat.csr())
+    if ptype == "sor":
+        return make_sor(opts, prefix, pmat)
+    if ptype in ("lu", "cholesky"):
+        return precond.PCLU(pmat.dense())
+    if ptype == "redundant":
+        # serial-equivalent of PCREDUNDANT: replicate + direct solve
+        opts.get_string("redundant_pc_factor_mat_solver_type", None,
+                        prefix=prefix)
+        return precond.PCLU(pmat.dense())
+    if ptype == "bjacobi":
+        sub = make_ksp(opts, prefix + "sub_", pmat,
+                       ksp_defaults=KSPConfig(type="preonly"),
+                       pc_default="ilu", log=log)
+        return precond.PCBJacobi([sub], [(0, pmat.n)])
+    if ptype == "fieldsplit":
+        return make_fieldsplit(opts, prefix, amat, nullspace, log=log)
+    if ptype == "mg":
+        return make_pc_mg(opts, prefix, amat, log=log)
+    raise NotImplementedError(f"PC type {ptype}")
+
+
+def make_sor(opts, prefix, pmat):
+    """PCSOR, default local symmetric sweep, omega=1 (SSOR(1)):
+    M = (D/w + L) (D/w)^-1 (D/w + U) / (w(2-w))."""
+    import jax.numpy as jnp
+    import jax.scipy.linalg as jsla
+    omega = opts.get_real("pc_sor_omega", 1.0, prefix=prefix)
+    A = pmat.dense()
+    D = np.diag(A)
+    L = np.tril(A, -1)
+    U = np.triu(A, 1)
+    DL = jnp.asarray(np.diag(D / omega) + L)
+    DU = jnp.asarray(np.diag(D / omega) + U)
+    scale = omega * (2.0 - omega)
+    Dw = jnp.asarray(D / omega)
+
+    class _SOR:
+        def apply(self, x):
+            y = jsla.solve_triangular(DL, x, lower=True)
+            y = Dw * y
+            y = jsla.solve_triangular(DU, y, lower=False)
+            return scale * y
+    return _SOR()
+
+
+def make_fieldsplit(opts, prefix, amat, nullspace=None, log=print):
+    """PCFIELDSPLIT with Schur complement, UPPER factorization, user Schur
+    preconditioning matrix (the reference's only fieldsplit configuration,
+    exSaddle.c:309-322)."""
+    info = amat.fieldsplit
+    if info is None:
+        raise ValueError("operator has no fieldsplit block info")
+    fact = opts.get_string("pc_fieldsplit_schur_fact_type", "upper",
+                           prefix=prefix)
+    if fact != "upper":
+        raise NotImplementedError(f"Schur factorization {fact}")
+
+    A00 = info["A00"]          # MatShell (velocity block)
+    A11 = info["A11"]          # MatShell (pressure block of A)
+    mult_up = info["mult_up"]  # xp -> A01 xp
+    mult_pu = info["mult_pu"]  # xu -> A10 xu
+    Sp = info["Sp"]            # MatShell: user Schur pre matrix (Mpscaled)
+
+    ksp_u = make_ksp(opts, prefix + "fieldsplit_u_", A00,
+                     ksp_defaults=KSPConfig(type="gmres"),
+                     pc_default="ilu", log=log)
+    schur_apply = precond.SchurComplementApply(
+        A11.apply, mult_up, mult_pu, ksp_u)
+    schur_mat = MatShell(Sp.n, schur_apply)
+    ksp_p = make_ksp(opts, prefix + "fieldsplit_p_", schur_mat, pmat=Sp,
+                     ksp_defaults=KSPConfig(type="gmres"),
+                     pc_default="ilu", log=log)
+    return precond.PCFieldSplitSchurUpper(A00.n, ksp_u, ksp_p, mult_up)
+
+
+def _dmda_coarsen(nn):
+    """DMDA default coarsening of node counts (refinement factor 2,
+    non-periodic): M -> (M+1)/2."""
+    return tuple((m + 1) // 2 for m in nn)
+
+
+def make_pc_mg(opts, prefix, amat, log=print):
+    """PCMG driven by pc_mg_levels/pc_mg_galerkin options -- the Galerkin MG
+    inside the velocity block of the ABF solver (abf.opts:4-16). The operator
+    must carry mg_info = {node_nn, dof}."""
+    info = amat.mg_info
+    if info is None:
+        raise ValueError("operator has no MG grid info")
+    nlevels = opts.get_int("pc_mg_levels", 1, prefix=prefix)
+    galerkin = opts.get_bool("pc_mg_galerkin", False, prefix=prefix)
+    if nlevels < 2:
+        raise ValueError("pc_mg_levels must be >= 2")
+
+    # node grids, fine -> coarse
+    grids = [tuple(info["node_nn"])]
+    for _ in range(nlevels - 1):
+        grids.append(_dmda_coarsen(grids[-1]))
+    grids = grids[::-1]           # coarsest first
+    dof = info["dof"]
+    prolongs = [precond_mg.Prolongation(grids[k], grids[k + 1], dof)
+                for k in range(nlevels - 1)]
+
+    if not galerkin:
+        raise NotImplementedError(
+            "options-driven PCMG currently requires pc_mg_galerkin "
+            "(non-Galerkin saddle MG is configured programmatically by the "
+            "driver)")
+    coarse_csrs = precond_mg.galerkin_coarse_operators(amat.csr(), prolongs)
+    mats = [MatShell(P.coarse_n, precond_mg.csr_apply(A),
+                     diagonal=lambda A=A: np.asarray(A.diagonal()),
+                     csr=A)
+            for P, A in zip(prolongs, coarse_csrs)]
+    mats.append(amat)             # finest
+
+    return build_mg(opts, prefix, mats, prolongs, log=log)
+
+
+def build_mg(opts, prefix, level_mats, prolongs, coarse_pc_forced=None,
+             log=print):
+    """Assemble a PCMG from per-level MatShells (coarsest first) and
+    prolongations. Shared by the options-driven (Galerkin) and
+    driver-programmatic (re-assembled saddle) MG paths."""
+    nlevels = len(level_mats)
+    levels = []
+    for k in range(1, nlevels):
+        lvl_prefix = prefix + f"mg_levels_{k}_"
+        base_prefix = prefix + "mg_levels_"
+        use_prefix = (lvl_prefix
+                      if any(key.startswith(lvl_prefix)
+                             for key in opts.table) else base_prefix)
+        smoother_defaults = KSPConfig(
+            type="chebyshev", max_it=2, norm_type="none",
+            convergence_test="skip", initial_guess_nonzero=True)
+        sm = make_ksp(opts, use_prefix, level_mats[k],
+                      ksp_defaults=smoother_defaults, pc_default="sor",
+                      log=log)
+        levels.append(precond_mg.MGLevel(level_mats[k].apply, sm,
+                                         prolongs[k - 1]))
+    coarse_defaults = KSPConfig(type="preonly", norm_type="none",
+                                convergence_test="skip")
+    coarse = make_ksp(opts, prefix + "mg_coarse_", level_mats[0],
+                      ksp_defaults=coarse_defaults, pc_default="lu",
+                      pc_forced=coarse_pc_forced, log=log)
+    return precond_mg.PCMG(levels, coarse)
