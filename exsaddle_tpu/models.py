@@ -17,7 +17,10 @@ one-shot "been_here" prints byte-for-byte (e.g. testref/exSaddle2d_1.ref:1-6).
 
 import numpy as np
 
-DEFAULT_MODEL = 0  # models.h: DEFAULT_MODEL
+# models.h:9-13: DEFAULT_MODEL is 6 (one sinker) for Lame, 2 (XSinker) for
+# Stokes
+DEFAULT_MODEL_LAME = 6
+DEFAULT_MODEL_STOKES = 2
 
 # Fixed sinker positions (models.c:1012-1015, 728-731)
 _POSX = np.array([0.27, 0.6, 0.7, 0.2, 0.85, 0.4, 0.16, 0.55])
@@ -35,7 +38,8 @@ class ModelContext:
         self.lame = lame
         self.log = log
         self._printed = set()
-        self.model = opts.get_int("model", DEFAULT_MODEL)
+        self.model = opts.get_int(
+            "model", DEFAULT_MODEL_LAME if lame else DEFAULT_MODEL_STOKES)
         self._ptatin_centroids = None
 
     def once(self, key, lines):

@@ -1,0 +1,84 @@
+"""3D Stokes + Lame regression tests vs testref/ (Makefile:361-513)."""
+
+from refcompare import check_against_ref
+
+
+def test_exSaddle3d_1():
+    check_against_ref(
+        "exSaddle3d_1",
+        "-saddle_pc_type jacobi -diagnostics -model 1 "
+        "-saddle_ksp_converged_reason -mx 4 -my 7 -mz 5 -saddle_ksp_max_it 10",
+        ndim=3)
+
+
+def test_exSaddle3d_fs_1():
+    check_against_ref(
+        "exSaddle3d_fs_1",
+        "-model 2 -sinker_n 1 -fs -mx 4 -diagnostics "
+        "-saddle_ksp_monitor_short",
+        ndim=3)
+
+
+def test_exSaddle3d_mg_1():
+    check_against_ref(
+        "exSaddle3d_mg_1",
+        "-model 2 -sinker_n 1 -mx 8 -mg -nlevels 2 -diagnostics "
+        "-saddle_ksp_type fgmres -saddle_mg_levels_ksp_type gmres "
+        "-saddle_mg_levels_pc_type jacobi -saddle_mg_levels_ksp_max_it 10 "
+        "-saddle_ksp_monitor_short "
+        "-saddle_mg_coarse_pc_factor_mat_solver_type umfpack",
+        ndim=3)
+
+
+def test_exSaddle3d_lame_1():
+    check_against_ref(
+        "exSaddle3d_lame_1",
+        "-model 6 -saddle_pc_type jacobi -saddle_ksp_converged_reason "
+        "-mx 4 -diagnostics",
+        ndim=3, lame=True)
+
+
+def test_exSaddle3d_lame_3():
+    check_against_ref(
+        "exSaddle3d_lame_3",
+        "-model 2 -lambda1 10 -mu1 100 -saddle_ksp_monitor_short "
+        "-saddle_pc_type jacobi -saddle_ksp_max_it 10 -saddle_ksp_type gmres "
+        "-saddle_ksp_pc_side right -mx 4 -diagnostics",
+        ndim=3, lame=True)
+
+
+def test_exSaddle3d_lame_4():
+    check_against_ref(
+        "exSaddle3d_lame_4",
+        "-model 8 -lambda1 10 -lambda0 10 -saddle_ksp_monitor_short "
+        "-saddle_pc_type jacobi -saddle_ksp_max_it 10 -saddle_ksp_type gmres "
+        "-saddle_ksp_pc_side right -mx 4 -diagnostics",
+        ndim=3, lame=True)
+
+
+def test_exSaddle3d_lame_5():
+    check_against_ref(
+        "exSaddle3d_lame_5",
+        "-model 9 -saddle_ksp_monitor_short -saddle_pc_type jacobi "
+        "-saddle_ksp_max_it 10 -saddle_ksp_type gmres -saddle_ksp_pc_side "
+        "right -mx 4 -diagnostics",
+        ndim=3, lame=True)
+
+
+def test_exSaddle3d_lame_fs_1():
+    check_against_ref(
+        "exSaddle3d_lame_fs_1",
+        "-model 6 -fs -mx 4 -diagnostics -saddle_ksp_monitor_short "
+        "-saddle_fieldsplit_u_ksp_max_it 10 "
+        "-saddle_fieldsplit_p_ksp_type preonly -saddle_ksp_max_it 10",
+        ndim=3, lame=True)
+
+
+def test_exSaddle3d_lame_mg_1():
+    check_against_ref(
+        "exSaddle3d_lame_mg_1",
+        "-model 6 -mx 6 -mg -nlevels 2 -diagnostics -saddle_ksp_type fgmres "
+        "-saddle_mg_levels_ksp_type gmres -saddle_mg_levels_pc_type jacobi "
+        "-saddle_mg_levels_ksp_max_it 10 -saddle_ksp_monitor_short "
+        "-saddle_mg_coarse_pc_factor_mat_solver_type umfpack",
+        ndim=3, lame=True)
