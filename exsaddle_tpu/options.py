@@ -147,6 +147,8 @@ class Options:
         """Format the full option table like PETSc's -options_left output."""
         lines = ["#PETSc Option Table entries:"]
         for k in sorted(self.table):
+            if k in ("options_file", "options_file_yaml"):
+                continue  # PETSc consumes these before tabling
             v = self.table[k]
             lines.append(f"-{k}" if v is None else f"-{k} {v}")
         lines.append("#End of PETSc Option Table entries")
