@@ -82,3 +82,18 @@ def test_exSaddle3d_lame_mg_1():
         "-saddle_mg_levels_ksp_max_it 10 -saddle_ksp_monitor_short "
         "-saddle_mg_coarse_pc_factor_mat_solver_type umfpack",
         ndim=3, lame=True)
+
+
+def test_exSaddle3d_mg_fs_coarse_1():
+    check_against_ref(
+        "exSaddle3d_mg_fs_coarse_1",
+        "-mg -nlevels 2 -fs_coarse -saddle_mg_levels_ksp_type gmres "
+        "-saddle_ksp_monitor_short -saddle_ksp_converged_reason "
+        "-saddle_mg_coarse_fieldsplit_u_pc_type jacobi "
+        "-saddle_mg_coarse_fieldsplit_p_pc_type jacobi "
+        "-saddle_mg_coarse_ksp_type fgmres "
+        "-saddle_mg_coarse_ksp_convergence_test default "
+        "-saddle_mg_levels_pc_type jacobi",
+        # deeply nested iterative solves (fgmres coarse fieldsplit inside MG)
+        # amplify rounding-order differences to ~0.3%
+        ndim=3, truncate_at=r"^KSP Object:", rtol=1e-2)
