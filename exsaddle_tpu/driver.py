@@ -77,9 +77,10 @@ def _qp_dict(ctx, cq):
     return out
 
 
-def _make_saddle_matshell(lv, lame):
-    """MatShell for a level's saddle operator, with fieldsplit block info
-    and velocity-grid MG info attached."""
+def _make_saddle_matshell(lv, lame, dm_info=None):
+    """MatShell for a level's saddle operator, with fieldsplit block info,
+    velocity-grid MG info, and DM decomposition info (for -pc_type asm
+    virtual-rank subdomains) attached."""
     op = lv.op
     mesh = lv.mesh
     mult = jax.jit(op.mult)
@@ -106,10 +107,12 @@ def _make_saddle_matshell(lv, lame):
                        diagonal=lambda: np.asarray(op.diagonal()),
                        csr=op.to_csr, fieldsplit=fieldsplit)
     amat.Sp = Sp
+    if dm_info is not None:
+        amat.dm_info = dict(dm_info, mesh=mesh)
     return amat
 
 
-def saddle_solve(opts, ndim, lame=False, log=print):
+def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
     """The reference's SaddleSolve_Q2Q1: returns a results dict."""
     mx = opts.get_int("mx", 4)
     my = opts.get_int("my", mx)
@@ -194,7 +197,9 @@ def saddle_solve(opts, ndim, lame=False, log=print):
         nullvec[mesh.nu:] = -1.0 / np.sqrt(mesh.np_)
 
     # --- solver tree ---
-    amat = _make_saddle_matshell(fine, lame)
+    dm_info = {"nranks": nranks,
+               "overlap": opts.get_int("dmdafe_overlap", 0)}
+    amat = _make_saddle_matshell(fine, lame, dm_info=dm_info)
     prefix = "saddle_"
     pc_forced = None
     pc_default = "ilu"
@@ -203,7 +208,8 @@ def saddle_solve(opts, ndim, lame=False, log=print):
     if mg:
         if opts.get_string("pc_type", None, prefix=prefix) is None:
             pc_forced = _build_saddle_mg(opts, prefix, levels, lame,
-                                         fs_coarse, log=log)
+                                         fs_coarse, log=log,
+                                         dm_info=dm_info)
         # else: options select the top PC (none of the reference tests do)
 
     ksp = sc.make_ksp(opts, prefix, amat,
@@ -261,11 +267,13 @@ def saddle_solve(opts, ndim, lame=False, log=print):
             "ksp": ksp, "F": F}
 
 
-def _build_saddle_mg(opts, prefix, levels, lame, fs_coarse, log=print):
+def _build_saddle_mg(opts, prefix, levels, lame, fs_coarse, log=print,
+                     dm_info=None):
     """Programmatic monolithic saddle PCMG with per-level re-assembled
     operators (PC_MG_GALERKIN_NONE) and composite interpolation
     (exSaddle.c:333-402)."""
-    mats = [_make_saddle_matshell(lv, lame) for lv in levels]
+    mats = [_make_saddle_matshell(lv, lame, dm_info=dm_info)
+            for lv in levels]
     prolongs = []
     for k in range(len(levels) - 1):
         Pu = Prolongation(levels[k].mesh.nn_u, levels[k + 1].mesh.nn_u,

@@ -169,3 +169,30 @@ class PCFieldSplitSchurUpper:
         yp = self.ksp_schur.solve(bp).x
         yu = self.ksp_A00.solve(bu - self.mult_up(yp)).x
         return jnp.concatenate([yu, yp])
+
+
+class PCASM:
+    """PCASM (type RESTRICT, the PETSc default) with DM-defined
+    element-aligned overlapping patches (DMCreateDomainDecomposition_
+    DMDAFEQ2Q1, femixedspace.c:746-837): restrict the residual to each
+    overlapping patch, sub-solve, but add the correction back only on the
+    rank's OWNED dofs (disjoint partition) -- validated digit-exact against
+    testref/exSaddle2d_asm_1.ref.
+
+    Patch solves are delegated to per-patch sub-KSPs (preonly+LU in every
+    reference configuration, Makefile:298,411,418)."""
+
+    def __init__(self, n, subksps, patches, restrict_masks):
+        self.n = n
+        self.subksps = subksps
+        self.patches = patches
+        self.restrict_masks = restrict_masks
+
+    def apply(self, x):
+        xnp = np.asarray(x)
+        y = np.zeros_like(xnp)
+        for ksp, idx, m in zip(self.subksps, self.patches,
+                               self.restrict_masks):
+            res = ksp.solve(jnp.asarray(xnp[idx]))
+            y[idx[m]] += np.asarray(res.x)[m]
+        return jnp.asarray(y)

@@ -116,6 +116,10 @@ def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
     if ptype == "sor":
         return make_sor(opts, prefix, pmat)
     if ptype in ("lu", "cholesky"):
+        # PETSc's parallel coarse default is PCREDUNDANT(LU); consume its
+        # nested factor option so -options_left accounting matches
+        opts.get_string("redundant_pc_factor_mat_solver_type", None,
+                        prefix=prefix)
         return precond.PCLU(pmat.dense())
     if ptype == "redundant":
         # serial-equivalent of PCREDUNDANT: replicate + direct solve
@@ -131,7 +135,48 @@ def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
         return make_fieldsplit(opts, prefix, amat, nullspace, log=log)
     if ptype == "mg":
         return make_pc_mg(opts, prefix, amat, log=log)
+    if ptype == "asm":
+        return make_asm(opts, prefix, pmat, log=log)
     raise NotImplementedError(f"PC type {ptype}")
+
+
+def make_asm(opts, prefix, pmat, log=print):
+    """PCASM with DM-supplied element-aligned subdomains: one overlapping
+    patch per virtual rank (DMCreateDomainDecomposition_DMDAFEQ2Q1 via
+    -saddle_pc_asm_dm_subdomains, femixedspace.c:746-837), per-patch
+    sub-KSPs configured under <prefix>sub_ (PCASM defaults: preonly+ILU)."""
+    from exsaddle_tpu import decomp
+
+    if not opts.get_bool("pc_asm_dm_subdomains", False, prefix=prefix):
+        raise NotImplementedError(
+            "PCASM is only supported with -pc_asm_dm_subdomains "
+            "(the only configuration the reference tests)")
+    info = getattr(pmat, "dm_info", None)
+    if info is None:
+        raise ValueError("operator has no DM info for ASM subdomains")
+    patches = decomp.asm_patch_dofs(info["mesh"], info["nranks"],
+                                    info["overlap"])
+    import jax.numpy as jnp
+    A = pmat.csr()
+    subksps = []
+    for idx in patches:
+        sub = A[idx][:, idx].tocsr()
+        shell = MatShell(len(idx),
+                         lambda v, s=sub: jnp.asarray(s @ np.asarray(v)),
+                         diagonal=lambda s=sub: s.diagonal(),
+                         csr=lambda s=sub: s,
+                         dense=lambda s=sub: s.toarray())
+        subksps.append(make_ksp(opts, prefix + "sub_", shell,
+                                ksp_defaults=KSPConfig(type="preonly"),
+                                pc_default="ilu", log=log))
+    # PC_ASM_RESTRICT: corrections added only on owned (disjoint) dofs
+    owned = decomp.bjacobi_block_ranges(info["mesh"], info["nranks"])
+    masks = []
+    for idx, own in zip(patches, owned):
+        own_set = np.zeros(pmat.n, bool)
+        own_set[own] = True
+        masks.append(own_set[idx])
+    return precond.PCASM(pmat.n, subksps, patches, masks)
 
 
 def make_sor(opts, prefix, pmat):

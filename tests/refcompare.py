@@ -90,7 +90,7 @@ def compare_lines(ref_lines, out_lines, rtol=1e-3, int_exact=True,
                     f"ref: {rl}\nout: {ol}")
 
 
-def run_case(args, ndim, lame=False):
+def run_case(args, ndim, lame=False, nranks=1):
     """Run the driver with the given CLI flags, capturing output lines."""
     from exsaddle_tpu.options import Options
     from exsaddle_tpu.driver import saddle_solve
@@ -100,7 +100,7 @@ def run_case(args, ndim, lame=False):
         lines.extend(str(msg).split("\n"))
 
     opts = Options.from_args(args.split() if isinstance(args, str) else args)
-    res = saddle_solve(opts, ndim, lame=lame, log=log)
+    res = saddle_solve(opts, ndim, lame=lame, log=log, nranks=nranks)
     return lines, res
 
 
@@ -137,7 +137,7 @@ def compare_monitor_loose(ref_lines, out_lines, context="", its_slack=2,
 def check_against_ref(refname, args, ndim, lame=False, rtol=1e-3,
                       int_exact=True, skip_ref_predicate=None,
                       monitor_mode="strict", cwd=None, truncate_at=None,
-                      hist_rtol=0.15):
+                      hist_rtol=0.15, nranks=1):
     """Run a case and compare to testref/<refname>.ref.
 
     truncate_at: regex; the ref is cut at its first matching line (used to
@@ -157,7 +157,7 @@ def check_against_ref(refname, args, ndim, lame=False, rtol=1e-3,
     if cwd:
         os.chdir(cwd)
     try:
-        out_lines, res = run_case(args, ndim, lame=lame)
+        out_lines, res = run_case(args, ndim, lame=lame, nranks=nranks)
     finally:
         os.chdir(prev)
     while out_lines and not out_lines[-1].strip():
