@@ -109,6 +109,15 @@ def _make_saddle_matshell(lv, lame, dm_info=None):
     amat.Sp = Sp
     if dm_info is not None:
         amat.dm_info = dict(dm_info, mesh=mesh)
+        nranks = dm_info["nranks"]
+        if nranks > 1:
+            from exsaddle_tpu import decomp
+            blocks = decomp.bjacobi_block_ranges(mesh, nranks)
+            amat.block_info = blocks
+            A00.block_info = [b[b < mesh.nu] for b in blocks]
+            pblocks = [b[b >= mesh.nu] - mesh.nu for b in blocks]
+            A11p.block_info = pblocks
+            Sp.block_info = pblocks
     return amat
 
 
@@ -156,6 +165,7 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
                     "Coarsening ratio incompatible with problem size")
     coarse_el = tuple(m // ratio for m in m_el)
 
+    opts.nranks = nranks          # ambient comm size for parallel defaults
     ctx = emodels.ModelContext(opts, ndim, lame=lame, log=log)
 
     # --- levels, coarse -> fine (exSaddle.c:226-239) ---

@@ -103,20 +103,23 @@ class PCLU:
 
 
 class PCBJacobi:
-    """PCBJACOBI with per-block sub-KSPs. On one shard this is a single
-    block whose sub-solver defaults to preonly+ILU(0), matching the
-    reference's view output (testref/exSaddle3d_pseudoice_1.ref bjacobi
-    section)."""
+    """PCBJACOBI with per-block sub-KSPs over arbitrary dof index blocks.
+    Serial: one block over the whole space (sub default preonly+ILU(0),
+    matching testref/exSaddle3d_pseudoice_1.ref's bjacobi section).
+    Parallel emulation: one block per virtual rank, blocks = the DMDA
+    ownership dof sets (decomp.bjacobi_block_ranges)."""
 
-    def __init__(self, sub_solvers, block_ranges):
+    def __init__(self, n, sub_solvers, blocks):
+        self.n = n
         self.subs = sub_solvers
-        self.ranges = block_ranges
+        self.blocks = blocks
 
     def apply(self, x):
-        parts = []
-        for ksp, (lo, hi) in zip(self.subs, self.ranges):
-            parts.append(ksp.solve(x[lo:hi]).x)
-        return jnp.concatenate(parts)
+        xnp = np.asarray(x)
+        y = np.empty_like(xnp)
+        for ksp, idx in zip(self.subs, self.blocks):
+            y[idx] = np.asarray(ksp.solve(jnp.asarray(xnp[idx])).x)
+        return jnp.asarray(y)
 
 
 class PCKSP:

@@ -102,6 +102,12 @@ def make_ksp(opts, prefix, amat, pmat=None, ksp_defaults=None,
 
 def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
             log=print):
+    # PETSc parallel defaults: MPIAIJ matrices default to PCBJACOBI; the
+    # virtual-rank block decomposition rides on the MatShell (block_info)
+    nranks = getattr(opts, "nranks", 1)
+    if (default_type == "ilu" and nranks > 1
+            and getattr(pmat, "block_info", None) is not None):
+        default_type = "bjacobi"
     ptype = opts.get_string("pc_type", default_type, prefix=prefix)
     # mark factor-package options as consumed (we always use our own
     # factorizations in place of umfpack/petsc)
@@ -127,10 +133,27 @@ def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
                         prefix=prefix)
         return precond.PCLU(pmat.dense())
     if ptype == "bjacobi":
-        sub = make_ksp(opts, prefix + "sub_", pmat,
-                       ksp_defaults=KSPConfig(type="preonly"),
-                       pc_default="ilu", log=log)
-        return precond.PCBJacobi([sub], [(0, pmat.n)])
+        import jax.numpy as jnp
+        blocks = getattr(pmat, "block_info", None)
+        nranks = getattr(opts, "nranks", 1)
+        if blocks is None or nranks <= 1:
+            sub = make_ksp(opts, prefix + "sub_", pmat,
+                           ksp_defaults=KSPConfig(type="preonly"),
+                           pc_default="ilu", log=log)
+            return precond.PCBJacobi(pmat.n, [sub], [np.arange(pmat.n)])
+        A = pmat.csr()
+        subksps = []
+        for idx in blocks:
+            sub = A[idx][:, idx].tocsr()
+            shell = MatShell(len(idx),
+                             lambda v, s=sub: jnp.asarray(s @ np.asarray(v)),
+                             diagonal=lambda s=sub: s.diagonal(),
+                             csr=lambda s=sub: s,
+                             dense=lambda s=sub: s.toarray())
+            subksps.append(make_ksp(opts, prefix + "sub_", shell,
+                                    ksp_defaults=KSPConfig(type="preonly"),
+                                    pc_default="ilu", log=log))
+        return precond.PCBJacobi(pmat.n, subksps, blocks)
     if ptype == "fieldsplit":
         return make_fieldsplit(opts, prefix, amat, nullspace, log=log)
     if ptype == "mg":
@@ -298,7 +321,11 @@ def build_mg(opts, prefix, level_mats, prolongs, coarse_pc_forced=None,
                                          prolongs[k - 1]))
     coarse_defaults = KSPConfig(type="preonly", norm_type="none",
                                 convergence_test="skip")
+    # parallel coarse default is PCREDUNDANT (numerically identical to LU)
+    coarse_pc_default = ("redundant" if getattr(opts, "nranks", 1) > 1
+                         else "lu")
     coarse = make_ksp(opts, prefix + "mg_coarse_", level_mats[0],
-                      ksp_defaults=coarse_defaults, pc_default="lu",
+                      ksp_defaults=coarse_defaults,
+                      pc_default=coarse_pc_default,
                       pc_forced=coarse_pc_forced, log=log)
     return precond_mg.PCMG(levels, coarse)
