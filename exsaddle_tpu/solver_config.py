@@ -160,6 +160,23 @@ def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
         return make_pc_mg(opts, prefix, amat, log=log)
     if ptype == "asm":
         return make_asm(opts, prefix, pmat, log=log)
+    if ptype == "ildl":
+        return precond.PCILDL(
+            pmat.csr(),
+            droptol=opts.get_real("pc_ildl_droptol", 1e-2, prefix=prefix),
+            ordering=opts.get_string("pc_ildl_ordering", "metisn",
+                                     prefix=prefix),
+            matching=opts.get_bool("pc_ildl_matching", True, prefix=prefix),
+            log=log)
+    if ptype == "ilupack":
+        return precond.PCILUPACK(
+            pmat.csr(),
+            droptol=opts.get_real("pc_ilupack_droptol", 1e-2, prefix=prefix),
+            condest=opts.get_real("pc_ilupack_condest", 100.0,
+                                  prefix=prefix),
+            droptolS=opts.get_real("pc_ilupack_droptolS", 1e-2,
+                                   prefix=prefix),
+            log=log)
     raise NotImplementedError(f"PC type {ptype}")
 
 
