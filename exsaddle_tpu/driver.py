@@ -52,6 +52,21 @@ def _coefficient_pipeline(levels, ctx):
     nodal = project_qp_to_q1(fine.fes, c)
     fine.coeff_qp = _qp_dict(ctx, interp_q1_to_qp(fine.fes, nodal))
 
+    view_coeffs = ctx.opts.get_bool("view_coeffs", False)
+
+    def _dump_coeffs(lvl_idx, lvl, nod):
+        """-view_coeffs: nodal Q1 coefficient fields as VTK
+        (femixedspace.c:2092-2123, 2224-2254)."""
+        names = (["mu", "Fu_x", "Fu_y", "Fp", "lambda", "Fu_z"][:nod.shape[1]]
+                 if ctx.lame else
+                 ["eta", "Fu_x", "Fu_y", "Fp", "Fu_z"][:nod.shape[1]])
+        esio.write_vts(f"coeffs_{lvl_idx}.vts", lvl.mesh.nn_p,
+                       lvl.mesh.p_coords,
+                       {nm: nod[:, j] for j, nm in enumerate(names)})
+
+    if view_coeffs:
+        _dump_coeffs(nlev - 1, fine, nodal)
+
     nodal_f = nodal
     for k in range(nlev - 2, -1, -1):
         P = Prolongation(levels[k].mesh.nn_p, levels[k + 1].mesh.nn_p, dof=1)
@@ -61,6 +76,8 @@ def _coefficient_pipeline(levels, ctx):
              for j in range(nodal_f.shape[1])], axis=1)
         levels[k].coeff_qp = _qp_dict(
             ctx, interp_q1_to_qp(levels[k].fes, nodal_c))
+        if view_coeffs:
+            _dump_coeffs(k, levels[k], nodal_c)
         nodal_f = nodal_c
 
 
@@ -140,6 +157,10 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
     dump_solution = opts.get_bool("dump_solution", False)
     dump_operator = opts.get_bool("dump_operator", False)
     twosolves = opts.get_bool("twosolves", False)
+    dump_pc = opts.get_bool("dump_preconditioner", False)
+    dump_pc_op = opts.get_bool("dump_preconditioned_operator", False)
+    dump_smoother = opts.get_bool("dump_smoother", False)
+    dump_mpscaled = opts.get_bool("dump_scaled_mass_matrix", False)
     check_solution = opts.get_bool("check_solution", False)
     nullspace_flag = opts.get_bool("constant_pressure_nullspace", False)
 
@@ -264,11 +285,36 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
         esio.report_solution_diagnostics(mesh, X, log=log)
     if view_fields:
         esio.view_fields(mesh, X, log=log)
+        if check_solution:
+            Xr = emodels.compute_reference_solution(ctx, mesh)
+            if Xr is not None:
+                esio.view_fields(mesh, Xr, tag="ref_", log=log)
     if dump_solution:
         esio.dump_solution(X, "solution.npy", log=log)
     if dump_operator:
         for k, lv in enumerate(levels):
             esio.dump_operator(lv.op.to_csr(), f"operator_{k}.npz", log=log)
+    if dump_pc:
+        # explicit preconditioner M^-1 (DumpPreconditioner,
+        # exSaddle_io.c:91-104)
+        esio.dump_dense_operator(ksp.pc.apply, mesh.ndof,
+                                 "preconditioner.npz", log=log)
+    if dump_pc_op:
+        # explicit M^-1 A (DumpPreconditionedOperator, exSaddle_io.c:106-126)
+        esio.dump_dense_operator(lambda v: ksp.pc.apply(amat.apply(v)),
+                                 mesh.ndof,
+                                 "preconditioned_operator_out.npz", log=log)
+    if dump_smoother:
+        from exsaddle_tpu import precond_mg
+        if not isinstance(ksp.pc, precond_mg.PCMG):
+            raise ValueError("Smoother dump requires PC type PCMG")
+        for k, lvl in enumerate(ksp.pc.levels):
+            sm = lvl.smoother
+            esio.dump_dense_operator(
+                lambda v, s=sm: s.solve(v).x,
+                levels[k + 1].mesh.ndof, f"smoother_{k + 1}.npz", log=log)
+    if dump_mpscaled:
+        esio.dump_operator(amat.Sp.csr(), "mpscaled.npz", log=log)
 
     if opts.get_bool("options_left", False):
         log(opts.format_table().rstrip("\n"))

@@ -102,3 +102,37 @@ def view_fields(mesh, X, tag="", log=print):
     write_vts(name, mesh.nn_u, mesh.u_coords, fields)
     write_vts(f"{tag}p.vts", mesh.nn_p, mesh.p_coords,
               {"p": np.asarray(X[mesh.nu:])})
+
+
+def write_vts_interleaved(fname, nn, X, names, log=print):
+    """VTK output of an interleaved multi-dof nodal vector (the ex42
+    DAView3DPVTS equivalent for serial runs, ex42mod.c:1033-1337)."""
+    ndof = len(names)
+    nd = len(nn)
+    grids = [np.arange(n) / max(n - 1, 1) for n in nn]
+    if nd == 3:
+        kk, jj, ii = np.meshgrid(grids[2], grids[1], grids[0], indexing="ij")
+        coords = np.stack([ii.ravel(), jj.ravel(), kk.ravel()], axis=1)
+    else:
+        jj, ii = np.meshgrid(grids[1], grids[0], indexing="ij")
+        coords = np.stack([ii.ravel(), jj.ravel()], axis=1)
+    fields = {nm: np.asarray(X[c::ndof]) for c, nm in enumerate(names)}
+    write_vts(fname, nn, coords, fields)
+    log(f"Wrote {fname}")
+
+
+def dump_dense_operator(apply_fn, n, name, log=print):
+    """Explicit dense operator by applying to identity columns -- the
+    PCComputeOperator / KSPComputeOperator path (exSaddle_io.c:91-126,
+    'could be very slow')."""
+    import jax.numpy as jnp
+    log(f"Dumping operator to {name}. This could be very slow!")
+    cols = []
+    for j in range(n):
+        e = np.zeros(n)
+        e[j] = 1.0
+        cols.append(np.asarray(apply_fn(jnp.asarray(e))))
+    M = np.stack(cols, axis=1)
+    np.savez(name, dense=M)
+    log(f"Finished dumping operator to {name}.")
+    return M

@@ -183,9 +183,28 @@ class KSP:
         haptol = 1e-30
         Hes = np.zeros((1, 0))
         it = 0
+        V = []
+        Z = []
+        H = np.zeros((restart + 1, restart))
+        g = np.zeros(restart + 1)
+
+        built = False
+
+        def build_current():
+            """KSPBuildSolution mid-cycle (used by residual monitors)."""
+            if built or it == 0 or not V:
+                return x
+            y = np.linalg.solve(H[:it, :it], g[:it])
+            if flexible and Z:
+                return x + y @ jnp.stack(Z[:it])
+            vy = y @ jnp.stack(V[:it])
+            return x + (self._pc_apply(vy) if side == "right" else vy)
+
+        self.build_solution = build_current
 
         while True:
             # --- initial residual for this cycle (KSPInitialResidual) ---
+            built = False
             r = b - self.A(x) if (guess_nonzero or itcount > 0) else b
             if side == "left":
                 v0 = self._pc_apply(r)
@@ -270,6 +289,7 @@ class KSP:
                     break
 
             # --- build solution (BuildGmresSoln) ---
+            built = True
             if it > 0:
                 y = np.linalg.solve(H[:it, :it], g[:it])
                 if flexible:

@@ -269,3 +269,20 @@ class PCILUPACK:
 
     def apply(self, x):
         return self.inner.apply(x)
+
+
+class PCFieldSplitAdditive:
+    """PCFIELDSPLIT, PC_COMPOSITE_ADDITIVE (the PETSc default used by
+    ex42mod's field-based split, ex42mod.c:1561-1567):
+    y = R_u^T ksp_u(x_u) + R_p^T ksp_p(x_p)."""
+
+    def __init__(self, n, splits):
+        self.n = n
+        self.splits = splits        # list of (index_array, ksp)
+
+    def apply(self, x):
+        xnp = np.asarray(x)
+        y = np.zeros_like(xnp)
+        for idx, ksp in self.splits:
+            y[idx] = np.asarray(ksp.solve(jnp.asarray(xnp[idx])).x)
+        return jnp.asarray(y)

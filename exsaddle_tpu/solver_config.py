@@ -244,12 +244,27 @@ def make_sor(opts, prefix, pmat):
 
 
 def make_fieldsplit(opts, prefix, amat, nullspace=None, log=print):
-    """PCFIELDSPLIT with Schur complement, UPPER factorization, user Schur
-    preconditioning matrix (the reference's only fieldsplit configuration,
-    exSaddle.c:309-322)."""
+    """PCFIELDSPLIT. exSaddle's driver configures Schur + UPPER + user
+    Schur-pre (exSaddle.c:309-322); ex42's field-based split defaults to
+    PC_COMPOSITE_ADDITIVE (the PETSc default, ex42mod.c:1561-1567)."""
     info = amat.fieldsplit
     if info is None:
         raise ValueError("operator has no fieldsplit block info")
+    ftype = opts.get_string("pc_fieldsplit_type",
+                            info.get("default_type", "schur"),
+                            prefix=prefix)
+    if ftype == "additive":
+        ud, pd = info["index_sets"]
+        ksp_u = make_ksp(opts, prefix + "fieldsplit_u_", info["A00"],
+                         ksp_defaults=KSPConfig(type="gmres"),
+                         pc_default="ilu", log=log)
+        ksp_p = make_ksp(opts, prefix + "fieldsplit_p_", info["A11"],
+                         ksp_defaults=KSPConfig(type="gmres"),
+                         pc_default="ilu", log=log)
+        return precond.PCFieldSplitAdditive(
+            amat.n, [(ud, ksp_u), (pd, ksp_p)])
+    if ftype != "schur":
+        raise NotImplementedError(f"fieldsplit type {ftype}")
     fact = opts.get_string("pc_fieldsplit_schur_fact_type", "upper",
                            prefix=prefix)
     if fact != "upper":

@@ -1,0 +1,103 @@
+"""Tests for the secondary entry points: ex23 (tridiagonal KSP smoke test,
+ex23mod.c) and ex42 (3D Q1-Q1 stabilized Stokes, ex42mod.c). The reference
+ships no golden outputs for these, so assertions are structural: solver
+behavior, discrete conservation, stabilization effect, output formats."""
+
+import re
+
+import numpy as np
+import scipy.sparse as sp
+
+from exsaddle_tpu.options import Options
+from exsaddle_tpu.ex23 import solve_ex23
+from exsaddle_tpu.ex42 import solve_stokes_3d_coupled, Ex42Problem
+
+
+def _collect():
+    lines = []
+    return lines, (lambda m="": lines.append(str(m)))
+
+
+def test_ex23_default_matches_exact_solution():
+    lines, log = _collect()
+    res, err = solve_ex23(Options.from_args(["-n", "50"]), log=log)
+    assert err < 1e-10
+    assert lines == []          # silent when error below tol (ex23mod.c:241)
+
+
+def test_ex23_custom_pcs():
+    for pc in ("ildl", "ilupack", "jacobi", "ilu"):
+        lines, log = _collect()
+        res, err = solve_ex23(
+            Options.from_args(f"-n 40 -pc_type {pc}".split()), log=log)
+        assert err < 1e-9, pc
+
+
+def test_ex42_isoviscous_solves_and_is_divergence_free():
+    opts = Options.from_args(
+        "-model 0 -stokes_ksp_rtol 1e-9 "
+        "-stokes_fieldsplit_u_ksp_type preonly "
+        "-stokes_fieldsplit_u_pc_type lu "
+        "-stokes_fieldsplit_p_ksp_type preonly "
+        "-stokes_fieldsplit_p_pc_type jacobi".split())
+    r = solve_stokes_3d_coupled(6, 6, 6, opts, log=lambda *a, **k: None)
+    assert r["result"].reason == "CONVERGED_RTOL"
+    prob = r["prob"]
+    X = np.asarray(r["X"])
+    # the discrete continuity equation (with stabilization) is satisfied:
+    # check the p-rows of the residual directly
+    resid = prob.F - prob.A @ X
+    assert np.abs(resid[3::4]).max() < 1e-8
+    # free-slip: normal velocities vanish on constrained faces
+    nx, ny, nz = prob.nn
+    gi = np.arange(prob.nnodes) % nx
+    u = X[0::4]
+    assert np.abs(u[gi == 0]).max() < 1e-12
+    assert np.abs(u[gi == nx - 1]).max() < 1e-12
+    # free surface: w on the top face is NOT constrained
+    gk = np.arange(prob.nnodes) // (nx * ny)
+    w = X[2::4]
+    assert np.abs(w[gk == nz - 1]).max() > 1e-6
+
+
+def test_ex42_sinker_and_block_monitor_format():
+    lines, log = _collect()
+    opts = Options.from_args(
+        "-model 1 -stokes_ksp_rtol 1e-6 -stokes_pc_type ilu "
+        "-stokes_ksp_max_it 500 -stokes_ksp_monitor_blocks".split())
+    r = solve_stokes_3d_coupled(5, 5, 5, opts, log=log)
+    assert r["result"].reason == "CONVERGED_RTOL"
+    mon = [ln for ln in lines if "KSP Component" in ln]
+    assert len(mon) >= 2
+    pat = (r"\s*\d+ KSP Component U,V,W,P residual norm \[ "
+           r"\d\.\d+e[-+]\d+, \d\.\d+e[-+]\d+, \d\.\d+e[-+]\d+, "
+           r"\d\.\d+e[-+]\d+ \]")
+    assert re.match(pat, mon[0]), mon[0]
+    # block residuals decrease
+    first = [float(v) for v in re.findall(r"\d\.\d+e[-+]\d+", mon[0])]
+    last = [float(v) for v in re.findall(r"\d\.\d+e[-+]\d+", mon[-1])]
+    assert sum(last) < 1e-4 * max(sum(first), 1e-30)
+
+
+def test_ex42_stabilization_matters():
+    """Without the Bochev term the Q1-Q1 pressure block is zero (the
+    discretization is unstable); with it the p-p block is nonzero and
+    renders the system solvable."""
+    opts = Options.from_args(["-model", "0"])
+    prob = Ex42Problem(4, 4, 4, opts, log=lambda *a, **k: None)
+    pd = prob.p_dofs
+    C = prob.A[pd][:, pd]
+    assert abs(C).max() > 0
+    lines, log = _collect()
+    opts2 = Options.from_args(["-model", "0", "-no_stab"])
+    prob2 = Ex42Problem(4, 4, 4, opts2, log=log)
+    assert any("without the stabilization term" in ln for ln in lines)
+    C2 = prob2.A[pd][:, pd]
+    assert abs(C2).max() == 0
+
+
+def test_ex42_matrix_is_symmetric():
+    opts = Options.from_args(["-model", "1"])
+    prob = Ex42Problem(3, 3, 3, opts, log=lambda *a, **k: None)
+    d = abs(prob.A - prob.A.T)
+    assert d.max() < 1e-13
