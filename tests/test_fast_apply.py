@@ -95,3 +95,19 @@ def test_entry_and_dryrun():
     x, rnorm = jax.jit(fn)(*args)
     assert np.isfinite(float(rnorm))
     g.dryrun_multichip(4)
+
+
+@pytest.mark.parametrize("nd,m_el,lame,model,size", CASES)
+def test_tree_apply_matches_flat(nd, m_el, lame, model, size):
+    from exsaddle_tpu.matfree import (tree_aux, to_tree, from_tree,
+                                      mult_tree, tree_norm)
+    mesh, fes, coeff, op, bc_mask = _build(nd, m_el, lame, model, size)
+    pop = ParityMatFreeOperator.build(mesh, fes, coeff, bc_mask, lame=lame,
+                                      dtype=jnp.float64)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(mesh.ndof))
+    y_flat = np.asarray(pop.mult(x))
+    tree = to_tree(pop, x)
+    y_tree = np.asarray(from_tree(mult_tree(pop, tree_aux(pop), tree)))
+    assert np.abs(y_tree - y_flat).max() < 1e-13 * np.abs(y_flat).max()
+    assert abs(float(tree_norm(to_tree(pop, x)))
+               - float(jnp.linalg.norm(x))) < 1e-12
