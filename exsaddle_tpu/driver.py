@@ -250,6 +250,10 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
     result = ksp.solve(F)
     X = result.x
 
+    if opts.get_bool("ksp_view", False, prefix=prefix):
+        from exsaddle_tpu.ksp_view import view_ksp
+        view_ksp(ksp, log=log, nranks=nranks)
+
     if twosolves:
         _extra_solves(ksp, F, log=log)
 

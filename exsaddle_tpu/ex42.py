@@ -262,6 +262,9 @@ def solve_stokes_3d_coupled(mx, my, mz, opts, log=print):
 
     res = ksp.solve(F)
     X = res.x
+    if opts.get_bool("ksp_view", False, prefix="stokes_"):
+        from exsaddle_tpu.ksp_view import view_ksp
+        view_ksp(ksp, log=log)
     if opts.get_bool("write_pvts", False):
         from exsaddle_tpu import io as esio
         esio.write_vts_interleaved("ex42-up.vts", prob.nn, np.asarray(X),

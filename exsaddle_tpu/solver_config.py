@@ -97,7 +97,10 @@ def make_ksp(opts, prefix, amat, pmat=None, ksp_defaults=None,
     else:
         pc = make_pc(opts, prefix, amat, pmat, pc_default, nullspace=nullspace,
                      log=log)
-    return KSP(amat.apply, pc, cfg, nullspace=nullspace)
+    ksp = KSP(amat.apply, pc, cfg, nullspace=nullspace)
+    ksp.amat = amat            # for -ksp_view introspection
+    ksp.pmat = pmat
+    return ksp
 
 
 def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
@@ -216,7 +219,9 @@ def make_asm(opts, prefix, pmat, log=print):
         own_set = np.zeros(pmat.n, bool)
         own_set[own] = True
         masks.append(own_set[idx])
-    return precond.PCASM(pmat.n, subksps, patches, masks)
+    pc = precond.PCASM(pmat.n, subksps, patches, masks)
+    pc.overlap = info["overlap"]
+    return pc
 
 
 def make_sor(opts, prefix, pmat):
@@ -327,7 +332,9 @@ def make_pc_mg(opts, prefix, amat, log=print):
             for P, A in zip(prolongs, coarse_csrs)]
     mats.append(amat)             # finest
 
-    return build_mg(opts, prefix, mats, prolongs, log=log)
+    pcmg = build_mg(opts, prefix, mats, prolongs, log=log)
+    pcmg.galerkin = True
+    return pcmg
 
 
 def build_mg(opts, prefix, level_mats, prolongs, coarse_pc_forced=None,

@@ -101,3 +101,39 @@ def test_ex42_matrix_is_symmetric():
     prob = Ex42Problem(3, 3, 3, opts, log=lambda *a, **k: None)
     d = abs(prob.A - prob.A.T)
     assert d.max() < 1e-13
+
+
+def test_ksp_view_tree_structure():
+    """-saddle_ksp_view prints the PETSc-format solver tree (the structure
+    asserted by testref/exSaddle3d_pseudoice_1.ref:28+)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from refcompare import run_case
+    lines, _ = run_case(
+        "-options_file /root/reference/abf.opts -model 11 -size_x 0.1 -mx 4 "
+        "-saddle_ksp_view -saddle_ksp_max_it 2", ndim=3)
+    txt = "\n".join(lines)
+    for frag in [
+            "KSP Object: (saddle_) 1 MPI processes",
+            "type: fgmres",
+            "using Classical (unmodified) Gram-Schmidt Orthogonalization "
+            "with no iterative refinement",
+            "happy breakdown tolerance 1e-30",
+            "right preconditioning",
+            "using UNPRECONDITIONED norm type for convergence test",
+            "FieldSplit with Schur preconditioner, factorization UPPER",
+            "Preconditioner for the Schur complement formed from user "
+            "provided matrix",
+            "KSP solver for A00 block",
+            "KSP Object: (saddle_fieldsplit_u_) 1 MPI processes",
+            "type is MULTIPLICATIVE, levels=3 cycles=v",
+            "Using Galerkin computed coarse grid matrices",
+            "Coarse grid solver -- level",
+            "Down solver (pre-smoother) on level 1",
+            "Up solver (post-smoother) same as down solver (pre-smoother)",
+            "KSP solver for S = A11 - A10 inv(A00) A01",
+            "KSP Object: (saddle_fieldsplit_p_) 1 MPI processes",
+            "type: bjacobi",
+            "number of blocks = 1",
+    ]:
+        assert frag in txt, frag
