@@ -177,6 +177,11 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
     if fs_coarse and not mg:
         raise ValueError("-fs_coarse supplied without -mg")
 
+    import time as _time
+    log_view = opts.get_bool("log_view", False)
+    stage_t = {}                  # PetscLogStage equivalent (SURVEY.md sec 5)
+    _t0 = _time.perf_counter()
+
     m_el = (mx, my) if ndim == 2 else (mx, my, mz)
     ratio = refinefactor ** (nlevels - 1)
     if nlevels > 1:
@@ -227,6 +232,9 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
         nullvec = np.zeros(mesh.ndof)
         nullvec[mesh.nu:] = -1.0 / np.sqrt(mesh.np_)
 
+    stage_t["Setup"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+
     # --- solver tree ---
     dm_info = {"nranks": nranks,
                "overlap": opts.get_int("dmdafe_overlap", 0)}
@@ -247,7 +255,10 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
                       ksp_defaults=KSPConfig(type="gmres"),
                       pc_default=pc_default, pc_forced=pc_forced,
                       nullspace=nullvec, log=log)
+    stage_t["SolverSetup"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
     result = ksp.solve(F)
+    stage_t["KSPSolve"] = _time.perf_counter() - _t0
     X = result.x
 
     if opts.get_bool("ksp_view", False, prefix=prefix):
@@ -255,7 +266,9 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
         view_ksp(ksp, log=log, nranks=nranks)
 
     if twosolves:
+        _t0 = _time.perf_counter()
         _extra_solves(ksp, F, log=log)
+        stage_t["Extra Solves"] = _time.perf_counter() - _t0
 
     # --- check solution (exSaddle.c:431-474) ---
     if check_solution:
@@ -319,6 +332,18 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
                 levels[k + 1].mesh.ndof, f"smoother_{k + 1}.npz", log=log)
     if dump_mpscaled:
         esio.dump_operator(amat.Sp.csr(), "mpscaled.npz", log=log)
+
+    if log_view:
+        # lightweight -log_view: per-stage wall-clock summary (the
+        # PetscLogStagePush/Pop separation of exSaddle.c:594-599)
+        total = sum(stage_t.values())
+        log("-" * 62)
+        log("Stage summary (wall clock):")
+        for name, t in stage_t.items():
+            frac = 100.0 * t / total if total > 0 else 0.0
+            log(f"  {name:<16s} {t:12.4e} s  {frac:5.1f}%")
+        log(f"  {'Total':<16s} {total:12.4e} s")
+        log("-" * 62)
 
     if opts.get_bool("options_left", False):
         log(opts.format_table().rstrip("\n"))

@@ -137,3 +137,17 @@ def test_ksp_view_tree_structure():
             "number of blocks = 1",
     ]:
         assert frag in txt, frag
+
+
+def test_yaml_options_file():
+    """-options_file_yaml parses the reference's nested example.yml
+    (exSaddle.c:169-177): flat and nested keys land in the options table."""
+    from exsaddle_tpu.options import Options
+    opts = Options.from_args(
+        ["-options_file_yaml", "/root/reference/example.yml"])
+    assert opts.get_int("mx", 0) == 8
+    assert opts.get_bool("mg", False)
+    assert opts.get_int("nlevels", 0) == 3
+    assert opts.get_string("ksp_type", None,
+                           prefix="saddle_mg_levels_") == "gmres"
+    assert opts.has("ksp_view", prefix="saddle_")
