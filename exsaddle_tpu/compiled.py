@@ -109,3 +109,49 @@ def make_chebyshev(mult, pc_apply, emin, emax, its):
         return x
 
     return smooth
+
+
+def make_fgmres_cycle_tree(k):
+    """Tree-form FGMRES(k) cycle: `cycle(op, aux, inv_diag_tree, F_tree,
+    x0_tree) -> (x_tree, rnorm)`.
+
+    Same algorithm as make_fgmres_cycle but with vectors kept as parity
+    subgrid pytrees end to end (matfree.mult_tree) -- the fast production
+    path: flat (ndof,) vectors pay grid<->1D relayouts each iteration
+    (~9x at mx=32 on v5e). Pass op/aux/inv_diag as jit ARGUMENTS."""
+    from exsaddle_tpu.matfree import mult_tree, tree_dot, tree_norm
+
+    def tmap(f, *ts):
+        return jax.tree.map(f, *ts)
+
+    def cycle(op, aux, inv_diag, F, x0):
+        mult = lambda t: mult_tree(op, aux, t)
+        pc = lambda t: tmap(jnp.multiply, inv_diag, t)
+        dtype = F[1].dtype
+
+        r0 = tmap(jnp.subtract, F, mult(x0))
+        beta = tree_norm(r0)
+        safe = jnp.where(beta == 0.0, 1.0, beta)
+        V = [tmap(lambda a: a / safe, r0)]
+        Z = []
+        H = jnp.zeros((k + 1, k), dtype)
+        for j in range(k):                      # static unroll
+            z = pc(V[j])
+            w = mult(z)
+            hs = [tree_dot(V[i], w) for i in range(j + 1)]
+            for i in range(j + 1):
+                w = tmap(lambda a, b: a - hs[i] * b, w, V[i])
+            hj1 = tree_norm(w)
+            H = H.at[: j + 1, j].set(jnp.stack(hs)).at[j + 1, j].set(hj1)
+            safe1 = jnp.where(hj1 == 0.0, 1.0, hj1)
+            V.append(tmap(lambda a: a / safe1, w))
+            Z.append(z)
+        e1 = jnp.zeros(k + 1, dtype).at[0].set(beta)
+        y = jnp.linalg.lstsq(H, e1)[0]
+        x = x0
+        for j in range(k):
+            x = tmap(lambda a, b: a + y[j] * b, x, Z[j])
+        rnorm = tree_norm(tmap(jnp.subtract, F, mult(x)))
+        return x, rnorm
+
+    return cycle

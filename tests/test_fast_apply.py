@@ -111,3 +111,24 @@ def test_tree_apply_matches_flat(nd, m_el, lame, model, size):
     assert np.abs(y_tree - y_flat).max() < 1e-13 * np.abs(y_flat).max()
     assert abs(float(tree_norm(to_tree(pop, x)))
                - float(jnp.linalg.norm(x))) < 1e-12
+
+
+def test_tree_fgmres_matches_host_ksp():
+    from exsaddle_tpu.compiled import make_fgmres_cycle_tree
+    from exsaddle_tpu.matfree import tree_aux, to_tree
+    from exsaddle_tpu.krylov import KSPConfig, KSP
+    from exsaddle_tpu import precond
+    import __graft_entry__ as g
+
+    mesh, pop, Fp, diag = g._build_flagship_parity(mx=4, dtype=jnp.float64)
+    inv = 1.0 / jnp.where(diag == 0.0, 1.0, diag)
+    cyc = jax.jit(make_fgmres_cycle_tree(15))
+    xt, rn = cyc(pop, tree_aux(pop), to_tree(pop, inv), to_tree(pop, Fp),
+                 to_tree(pop, jnp.zeros_like(Fp)))
+
+    hist = []
+    cfg = KSPConfig(type="fgmres", restart=15, max_it=15,
+                    convergence_test="skip",
+                    monitor=lambda i, r: hist.append(r))
+    KSP(pop.mult, pc=precond.PCJacobi(np.asarray(diag)), cfg=cfg).solve(Fp)
+    assert abs(hist[-1] - float(rn)) / hist[-1] < 1e-8
