@@ -503,5 +503,7 @@ def make_monitor_short(prefix, log=print):
         if state["first"] and its == 0:
             log(f"  Residual norms for {prefix} solve.")
         state["first"] = False
-        log("  " + monitor_short_line(its, rnorm))
+        # no extra indent: PETSc's %3D field renders "  0", " 10", "100"
+        # (testref/exSaddle2d_asm_1.ref:8-19)
+        log(monitor_short_line(its, rnorm))
     return monitor
