@@ -6,14 +6,9 @@ import __graft_entry__ as g
 from exsaddle_tpu import matfree
 
 mx = int(os.environ.get("MX", 32))
-mesh, op, F = g._build_flagship(mx=mx, dtype=jnp.float32)
+mesh, op, F, diag = g._build_flagship_parity(mx=mx, dtype=jnp.float32)
 aux = matfree.tree_aux(op)
 x0 = matfree.to_tree(op, jnp.asarray(np.random.default_rng(0).standard_normal(op.ndof), jnp.float32))
-
-def loop(n, fn):
-    def body(i, t):
-        return fn(t)
-    return body
 
 @jax.jit
 def run_full(op, aux, t):

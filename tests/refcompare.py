@@ -137,7 +137,7 @@ def compare_monitor_loose(ref_lines, out_lines, context="", its_slack=2,
 def check_against_ref(refname, args, ndim, lame=False, rtol=1e-3,
                       int_exact=True, skip_ref_predicate=None,
                       monitor_mode="strict", cwd=None, truncate_at=None,
-                      hist_rtol=0.15, nranks=1):
+                      hist_rtol=0.15, its_slack=2, nranks=1):
     """Run a case and compare to testref/<refname>.ref.
 
     truncate_at: regex; the ref is cut at its first matching line (used to
@@ -167,7 +167,7 @@ def check_against_ref(refname, args, ndim, lame=False, rtol=1e-3,
         out_lines = [ln for ln in out_lines if not skip_ref_predicate(ln)]
     if monitor_mode == "loose":
         compare_monitor_loose(ref_lines, out_lines, context=refname,
-                              hist_rtol=hist_rtol)
+                              hist_rtol=hist_rtol, its_slack=its_slack)
         is_mon = lambda ln: _monitor_value(ln) is not None
         ref_rest = [ln for ln in ref_lines if not is_mon(ln)]
         out_rest = [ln for ln in out_lines if not is_mon(ln)]

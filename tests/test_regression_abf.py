@@ -36,6 +36,7 @@ def test_exSaddle3d_pseudoice_1():
         "-saddle_ksp_monitor_short",
         ndim=3, monitor_mode="loose", cwd=ABF,
         truncate_at=r"^KSP Object:",
-        # 20-iteration solve amplifies the esteig noise-vector difference;
-        # shape + final-residual checks still hold
-        hist_rtol=0.5)
+        # esteig noise-vector difference (KSPSetNoisy_Private is
+        # PETSc-internal) perturbs the Chebyshev bounds ~1%; measured
+        # history deviation peaks at ~17% near convergence, 21 vs 20 its
+        hist_rtol=0.2, its_slack=1)
