@@ -1,19 +1,25 @@
-"""Benchmark: flagship 3D pseudoice Stokes saddle operator apply on one chip.
+"""Benchmark: flagship 3D pseudoice Stokes -- operator apply AND full solve.
 
-Measures the hot kernel of every Krylov iteration (SURVEY.md section 3.2:
-SpMV inside smoothing dominates runtime) using the matrix-free parity-layout
-apply (exsaddle_tpu/matfree.py). The loop of applies runs INSIDE one jit
-(lax.fori_loop) -- per-dispatch tunnel overhead (~0.6 ms on this image) would
-otherwise dominate, and the production solver path is fully jitted too.
+Two measurements on one chip:
 
-Reported as *effective SpMV bandwidth*: the HBM bytes an assembled-CSR SpMV
-would have to move (8 B/nnz + vectors) divided by the measured per-apply
-time, as a fraction of the chip's HBM roofline. The matrix-free apply moves
-far less data than that, so vs_baseline > 1.0 means faster than a
-perfect-roofline assembled SpMV (BASELINE.json target: >= 0.6).
+1. The hot kernel (matrix-free parity-layout saddle apply, the SpMV of every
+   Krylov iteration -- SURVEY.md section 3.2) timed inside one jit
+   (lax.fori_loop): reported as the headline metric in *effective SpMV
+   bandwidth* -- the HBM bytes an assembled-CSR SpMV would have to move
+   divided by the measured time, as a fraction of the chip's HBM roofline
+   (BASELINE.json target >= 0.6; >1 means faster than a perfect-roofline
+   assembled SpMV). Honest accounting alongside (extras): the factored
+   operator's OWN minimum HBM bytes and the implied achieved bandwidth
+   lower bound, plus FLOP throughput.
+
+2. The full ABF solve (exsaddle_tpu/abf.py: FGMRES / fieldsplit-Schur /
+   Galerkin-MG / Chebyshev, the abf.opts flagship configuration) to a TRUE
+   float64 relative residual of 1e-8 via mixed-precision iterative
+   refinement -- end-to-end wall clock, iterations, ms per outer iteration
+   (extras "solve_*").
 
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
 """
 
 import json
@@ -46,49 +52,70 @@ def _device_peak(dev):
     return 100.0, "cpu"   # nominal single-socket figure for local runs
 
 
-def build_operator(mx, dtype):
+def _build_problem(mx, with_rhs=False):
     from exsaddle_tpu import models as emodels, driver
-    from exsaddle_tpu.assembly import FESpace
+    from exsaddle_tpu.assembly import (FESpace, project_qp_to_q1,
+                                       interp_q1_to_qp, assemble_rhs,
+                                       scatter_vector)
     from exsaddle_tpu.mesh import SaddleMesh
     from exsaddle_tpu.options import Options
-    from exsaddle_tpu.matfree import ParityMatFreeOperator
 
-    opts = Options.from_args(["-model", "11"])
+    opts = Options.from_args(["-model", "11", "-size_x", "0.1"])
     ctx = emodels.ModelContext(opts, 3, log=lambda *a, **k: None)
     mesh = SaddleMesh(3, (mx, mx, mx), (0.1, 1.0, 1.0))
     fes = FESpace(mesh)
-    bci, _ = emodels.create_bc_list(ctx, mesh)
+    bc_idx, bc_vals = emodels.create_bc_list(ctx, mesh)
     c = emodels.evaluate_coefficients(
         ctx, fes.qp_coords.reshape(-1, 3)).reshape(mesh.nel, fes.nqp, -1)
-    coeff = driver._qp_dict(ctx, c)
-    bc_mask = np.zeros(mesh.ndof)
-    bc_mask[bci] = 1.0
-    return mesh, ParityMatFreeOperator.build(mesh, fes, coeff, bc_mask,
-                                             dtype=dtype)
+    nodal = project_qp_to_q1(fes, c)
+    coeff = driver._qp_dict(ctx, interp_q1_to_qp(fes, nodal))
+    out = {"mesh": mesh, "fes": fes, "coeff": coeff, "bc_idx": bc_idx,
+           "bc_vals": bc_vals}
+    if with_rhs:
+        f1, f2 = assemble_rhs(fes, coeff["Fu"], coeff["Fp"])
+        F = scatter_vector(mesh, f1, f2)
+        F[: mesh.nu][bc_idx] = bc_vals
+        out["F_raw"] = F
+    return out
 
 
-def main():
+def _apply_flops_bytes(mesh, op, itemsize):
+    """Exact matmul FLOPs and minimum HBM bytes of one mult_tree apply."""
+    nel = mesh.nel
+    nud = mesh.ndim * mesh.u_basis
+    npb = mesh.p_basis
+    nqp = op.nqp
+    nqpc = nqp * op.ncomp
+    flops = 2 * nel * (nud * nqpc      # xe @ Bs^T
+                       + nqpc * nud    # strain @ Bs
+                       + npb * nqp     # pe @ Np^T
+                       + nqp * nud     # ptmp @ Dm
+                       + nud * nqp     # xe @ Dm^T
+                       + nqp * npb)    # div @ Np
+    flops += nel * (nqpc * 2 + nqp * 3)          # elementwise scalings
+    # minimum HBM traffic: per-element coefficient data + x read + y write
+    # + keep/mask reads (intermediates that spill add on top of this)
+    ndof = mesh.ndof
+    bytes_min = (nel * nqpc * itemsize           # scale_visc
+                 + 4 * ndof * itemsize)          # x, y, keep, mask
+    return flops, bytes_min
+
+
+def bench_apply(mx, inner, reps):
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from exsaddle_tpu.matfree import assembled_nnz
-
-    dev = jax.devices()[0]
-    peak_gbs, kind = _device_peak(dev)
-    on_tpu = dev.platform == "tpu"
-    mx = int(os.environ.get("BENCH_MX", "32" if on_tpu else "8"))
-    inner = int(os.environ.get("BENCH_INNER", "100" if on_tpu else "10"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
-
-    mesh, op = build_operator(mx, jnp.float32)
-
-    from exsaddle_tpu.matfree import (tree_aux, to_tree, mult_tree,
+    from exsaddle_tpu.matfree import (ParityMatFreeOperator, assembled_nnz,
+                                      tree_aux, to_tree, mult_tree,
                                       tree_norm)
 
-    # Everything is a jit ARGUMENT, not a closure constant (closure device
-    # arrays re-upload per call through this image's TPU tunnel), and
-    # vectors stay in tree (grid) form for the whole loop -- flat-vector
-    # relayouts cost ~9x at mx=32.
+    prob = _build_problem(mx)
+    mesh = prob["mesh"]
+    bc_mask = np.zeros(mesh.ndof)
+    bc_mask[prob["bc_idx"]] = 1.0
+    op = ParityMatFreeOperator.build(mesh, prob["fes"], prob["coeff"],
+                                     bc_mask, dtype=jnp.float32)
+
     @jax.jit
     def applies(op, aux, tree):
         def body(_, tr):
@@ -115,17 +142,89 @@ def main():
             times.append(dt)
     if not times:
         raise RuntimeError("all benchmark repetitions returned instantly")
-    best = float(np.median(times))
+    t_apply = float(np.median(times))
 
     nnz = assembled_nnz(mesh)
-    eff_bytes = nnz * 8 + 3 * mesh.ndof * 4      # CSR vals+cols + x,y traffic
-    gbs = eff_bytes / best / 1e9
+    csr_bytes = nnz * 8 + 3 * mesh.ndof * 4      # CSR vals+cols + x,y traffic
+    flops, bytes_min = _apply_flops_bytes(mesh, op, 4)
+    return {
+        "t_apply_us": round(t_apply * 1e6, 2),
+        "effective_csr_gbs": round(csr_bytes / t_apply / 1e9, 1),
+        "actual_bytes_min": bytes_min,
+        "achieved_gbs_min": round(bytes_min / t_apply / 1e9, 1),
+        "apply_tflops": round(flops / t_apply / 1e12, 3),
+        "assembled_nnz": nnz,
+    }
 
+
+def bench_solve(mx, rtol):
+    """Full jitted ABF solve (mixed-precision IR to true f64 rtol)."""
+    import jax
+    import jax.numpy as jnp
+    from exsaddle_tpu.abf import ABFSolver
+
+    prob = _build_problem(mx, with_rhs=True)
+    mesh = prob["mesh"]
+    # enough levels that the replicated dense coarse solve stays small
+    nlevels = 3
+    while min((g - 1) // 2 ** (nlevels - 1) + 1
+              for g in mesh.nn_u) > 12:
+        nlevels += 1
+    t0 = time.perf_counter()
+    slv = ABFSolver(mesh, prob["fes"], prob["coeff"], prob["bc_idx"],
+                    prob["bc_vals"], dtype=jnp.float32, nlevels=nlevels,
+                    ir=True, cheb_its=8)
+    t_setup = time.perf_counter() - t0
+    F = prob["F_raw"] + slv.setup["rhs_diri"]
+    res = slv.solve_ir(F, rtol=rtol)             # compile + first solve
+    t0 = time.perf_counter()
+    res = slv.solve_ir(F, rtol=rtol)
+    t_solve = time.perf_counter() - t0
+    return {
+        "solve_mx": mx,
+        "solve_nlevels": nlevels,
+        "solve_ndof": mesh.ndof,
+        "solve_rtol": rtol,
+        "solve_converged": bool(res["converged"]),
+        "solve_true_rel_resid": res["rnorm"] / res["rnorm0"],
+        "solve_seconds": round(t_solve, 3),
+        "solve_setup_seconds": round(t_setup, 2),
+        "solve_outer_its": res["inner_its"],
+        "solve_ir_rounds": res["rounds"],
+        "solve_ms_per_outer_it": round(1e3 * t_solve
+                                       / max(res["inner_its"], 1), 2),
+    }
+
+
+def main():
+    import jax
+    # float64 must be real for the IR true-residual path (the apply bench
+    # keeps explicit float32 dtypes)
+    jax.config.update("jax_enable_x64", True)
+
+    dev = jax.devices()[0]
+    peak_gbs, kind = _device_peak(dev)
+    on_tpu = dev.platform == "tpu"
+    mx = int(os.environ.get("BENCH_MX", "32" if on_tpu else "8"))
+    inner = int(os.environ.get("BENCH_INNER", "100" if on_tpu else "10"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    solve_mx = int(os.environ.get("BENCH_SOLVE_MX",
+                                  "32" if on_tpu else "6"))
+    rtol = float(os.environ.get("BENCH_SOLVE_RTOL", "1e-8"))
+
+    extras = bench_apply(mx, inner, reps)
+    try:
+        extras.update(bench_solve(solve_mx, rtol))
+    except Exception as e:                       # pragma: no cover
+        extras["solve_error"] = f"{type(e).__name__}: {e}"
+
+    gbs = extras["effective_csr_gbs"]
     print(json.dumps({
         "metric": f"pseudoice3d_effective_spmv_bw_mx{mx}_{kind}",
-        "value": round(gbs, 1),
+        "value": gbs,
         "unit": "GB/s",
         "vs_baseline": round(gbs / peak_gbs, 3),
+        "extras": extras,
     }))
 
 

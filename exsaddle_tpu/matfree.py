@@ -290,67 +290,13 @@ class ParityMatFreeOperator:
 
     def _split_u(self, xu):
         """Permuted u vector -> list of per-class grids (*cls_shape, d)."""
-        nd = len(self.m_el)
-        subs = []
-        off = 0
-        for s in self.cls_shapes:
-            n = int(np.prod(s))
-            subs.append(xu[off * nd:(off + n) * nd].reshape(s + (nd,)))
-            off += n
-        return subs
+        return split_u_parity(xu, self.cls_shapes, len(self.m_el))
 
     def _gather_u(self, subs):
-        nd = len(self.m_el)
-        m = self.m_el
-        slabs = []
-        if nd == 2:
-            for lb in range(3):
-                for la in range(3):
-                    p = (la & 1) | ((lb & 1) << 1)
-                    sa, sb = la >> 1, lb >> 1
-                    slabs.append(subs[p][sb:sb + m[1], sa:sa + m[0], :])
-            xe = jnp.stack(slabs, axis=2)
-            return xe.reshape(m[0] * m[1], 9 * nd)
-        for lc in range(3):
-            for lb in range(3):
-                for la in range(3):
-                    p = (la & 1) | ((lb & 1) << 1) | ((lc & 1) << 2)
-                    sa, sb, sc = la >> 1, lb >> 1, lc >> 1
-                    slabs.append(subs[p][sc:sc + m[2], sb:sb + m[1],
-                                         sa:sa + m[0], :])
-        xe = jnp.stack(slabs, axis=3)
-        return xe.reshape(int(np.prod(m)), 27 * nd)
+        return gather_u_parity(subs, self.m_el)
 
     def _scatter_u(self, ye):
-        nd = len(self.m_el)
-        m = self.m_el
-        zero = jnp.array(0.0, ye.dtype)
-        out = [jnp.zeros(s + (nd,), ye.dtype) for s in self.cls_shapes]
-        if nd == 2:
-            yel = ye.reshape(m[1], m[0], 9, nd)
-            for lb in range(3):
-                for la in range(3):
-                    p = (la & 1) | ((lb & 1) << 1)
-                    sa, sb = la >> 1, lb >> 1
-                    c = yel[:, :, la + 3 * lb, :]
-                    pads = [(sb, self.cls_shapes[p][0] - sb - m[1], 0),
-                            (sa, self.cls_shapes[p][1] - sa - m[0], 0),
-                            (0, 0, 0)]
-                    out[p] = out[p] + lax.pad(c, zero, pads)
-            return out
-        yel = ye.reshape(m[2], m[1], m[0], 27, nd)
-        for lc in range(3):
-            for lb in range(3):
-                for la in range(3):
-                    p = (la & 1) | ((lb & 1) << 1) | ((lc & 1) << 2)
-                    sa, sb, sc = la >> 1, lb >> 1, lc >> 1
-                    c = yel[:, :, :, la + 3 * lb + 9 * lc, :]
-                    pads = [(sc, self.cls_shapes[p][0] - sc - m[2], 0),
-                            (sb, self.cls_shapes[p][1] - sb - m[1], 0),
-                            (sa, self.cls_shapes[p][2] - sa - m[0], 0),
-                            (0, 0, 0)]
-                    out[p] = out[p] + lax.pad(c, zero, pads)
-        return out
+        return scatter_u_parity(ye, self.m_el, self.cls_shapes)
 
     def mult(self, x):
         """y = A x, both in the parity-permuted layout."""
@@ -381,6 +327,79 @@ class ParityMatFreeOperator:
         yp = _scatter_q1(ype, self.m_el, self.nn_p).reshape(-1)
         y = jnp.concatenate([yu, yp])
         return self.keep * y + self.bc_mask * x
+
+
+# --- parity-layout element data movement (free functions: the same code
+# serves the global operator and per-shard local slabs in parallel/) -------
+
+def split_u_parity(xu, cls_shapes, nd):
+    """Permuted flat u vector -> list of per-class grids (*cls_shape, d)."""
+    subs = []
+    off = 0
+    for s in cls_shapes:
+        n = int(np.prod(s))
+        subs.append(xu[off * nd:(off + n) * nd].reshape(tuple(s) + (nd,)))
+        off += n
+    return subs
+
+
+def gather_u_parity(subs, m_el):
+    """Parity subgrids -> (nel, 3^nd * nd) element dof values; every slice
+    unit-stride."""
+    nd = len(m_el)
+    m = m_el
+    slabs = []
+    if nd == 2:
+        for lb in range(3):
+            for la in range(3):
+                p = (la & 1) | ((lb & 1) << 1)
+                sa, sb = la >> 1, lb >> 1
+                slabs.append(subs[p][sb:sb + m[1], sa:sa + m[0], :])
+        xe = jnp.stack(slabs, axis=2)
+        return xe.reshape(m[0] * m[1], 9 * nd)
+    for lc in range(3):
+        for lb in range(3):
+            for la in range(3):
+                p = (la & 1) | ((lb & 1) << 1) | ((lc & 1) << 2)
+                sa, sb, sc = la >> 1, lb >> 1, lc >> 1
+                slabs.append(subs[p][sc:sc + m[2], sb:sb + m[1],
+                                     sa:sa + m[0], :])
+    xe = jnp.stack(slabs, axis=3)
+    return xe.reshape(int(np.prod(m)), 27 * nd)
+
+
+def scatter_u_parity(ye, m_el, cls_shapes):
+    """Transpose of gather_u_parity: element contributions -> parity
+    subgrids via pad-adds (conflict-free per local offset)."""
+    nd = len(m_el)
+    m = m_el
+    zero = jnp.array(0.0, ye.dtype)
+    out = [jnp.zeros(tuple(s) + (nd,), ye.dtype) for s in cls_shapes]
+    if nd == 2:
+        yel = ye.reshape(m[1], m[0], 9, nd)
+        for lb in range(3):
+            for la in range(3):
+                p = (la & 1) | ((lb & 1) << 1)
+                sa, sb = la >> 1, lb >> 1
+                c = yel[:, :, la + 3 * lb, :]
+                pads = [(sb, cls_shapes[p][0] - sb - m[1], 0),
+                        (sa, cls_shapes[p][1] - sa - m[0], 0),
+                        (0, 0, 0)]
+                out[p] = out[p] + lax.pad(c, zero, pads)
+        return out
+    yel = ye.reshape(m[2], m[1], m[0], 27, nd)
+    for lc in range(3):
+        for lb in range(3):
+            for la in range(3):
+                p = (la & 1) | ((lb & 1) << 1) | ((lc & 1) << 2)
+                sa, sb, sc = la >> 1, lb >> 1, lc >> 1
+                c = yel[:, :, :, la + 3 * lb + 9 * lc, :]
+                pads = [(sc, cls_shapes[p][0] - sc - m[2], 0),
+                        (sb, cls_shapes[p][1] - sb - m[1], 0),
+                        (sa, cls_shapes[p][2] - sa - m[0], 0),
+                        (0, 0, 0)]
+                out[p] = out[p] + lax.pad(c, zero, pads)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -421,9 +440,11 @@ def tree_norm(a):
     return jnp.sqrt(tree_dot(a, a))
 
 
-def mult_tree(op, aux, tree):
+def mult_tree(op, aux, tree, halo_u=None, halo_p=None):
     """y = A x in tree form. op: ParityMatFreeOperator; aux: tree_aux(op);
-    tree: (subs, p_grid). Returns the same structure."""
+    tree: (subs, p_grid). Returns the same structure. halo_u/halo_p:
+    optional post-scatter interface exchanges for distributed slab layouts
+    (parallel/dist_abf.py); None on a single shard."""
     ks, ms, kp, mp = aux
     subs, pg = tree
     nel = int(np.prod(op.m_el))
@@ -440,5 +461,9 @@ def mult_tree(op, aux, tree):
     ype = _ob(ype)
     outs = op._scatter_u(yue)
     yp = _scatter_q1(ype, op.m_el, op.nn_p)
+    if halo_u is not None:
+        outs = halo_u(outs)
+    if halo_p is not None:
+        yp = halo_p(yp)
     outs = [o * k + m * s for o, k, m, s in zip(outs, ks, ms, subs)]
     return (outs, yp * kp + mp * pg)

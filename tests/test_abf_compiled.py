@@ -1,0 +1,118 @@
+"""Fully-jitted ABF solver (exsaddle_tpu/abf.py) vs the host-orchestrated
+reference path.
+
+The jitted solver runs the abf.opts configuration (FGMRES / fieldsplit-Schur
+UPPER / GCR+Galerkin-MG / Chebyshev-Jacobi smoothers / dense coarse solve)
+as one traced computation with on-device convergence tests. Its p-block uses
+a Chebyshev polynomial in Jacobi-preconditioned Mpscaled instead of PETSc's
+serial bjacobi+ILU(0) -- a tighter Schur approximation, so iteration counts
+come out at or BELOW the reference's (testref/exSaddle3d_pseudoice_1.ref:
+20 its; testref/exSaddle2d_ar_1.ref: 8 its)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from exsaddle_tpu.options import Options
+from exsaddle_tpu import models as emodels, driver
+from exsaddle_tpu.assembly import (FESpace, assemble_rhs, scatter_vector,
+                                   project_qp_to_q1, interp_q1_to_qp)
+from exsaddle_tpu.mesh import SaddleMesh
+from exsaddle_tpu.abf import ABFSolver
+
+
+def _setup_case(ndim, m_el, size, model, **solver_kw):
+    # the model context must see the size flags (e.g. pseudoice's viscosity
+    # ramp divides by size_x, models.c:1465)
+    size_names = ["size_x", "size_y", "size_z"]
+    size_args = sum((["-" + n, str(v)]
+                     for n, v in zip(size_names, size)), [])
+    opts = Options.from_args(["-model", str(model)] + size_args)
+    ctx = emodels.ModelContext(opts, ndim, log=lambda *a, **k: None)
+    mesh = SaddleMesh(ndim, m_el, size)
+    fes = FESpace(mesh)
+    bc_idx, bc_vals = emodels.create_bc_list(ctx, mesh)
+    c = emodels.evaluate_coefficients(
+        ctx, fes.qp_coords.reshape(-1, ndim)).reshape(mesh.nel, fes.nqp, -1)
+    nodal = project_qp_to_q1(fes, c)
+    coeff = driver._qp_dict(ctx, interp_q1_to_qp(fes, nodal))
+    slv = ABFSolver(mesh, fes, coeff, bc_idx, bc_vals, dtype=jnp.float64,
+                    **solver_kw)
+    f1, f2 = assemble_rhs(fes, coeff["Fu"], coeff["Fp"])
+    F = scatter_vector(mesh, f1, f2)
+    F[: mesh.nu][bc_idx] = bc_vals
+    F = F + slv.setup["rhs_diri"]
+    return slv, F
+
+
+def _true_residual(slv, F, x):
+    r = np.asarray(F) - np.asarray(slv.setup["sop"].mult(jnp.asarray(x)))
+    return np.linalg.norm(r)
+
+
+def test_abf_jitted_pseudoice_mx6():
+    """The flagship case (abf.opts + model 11 + size_x 0.1 + mx 6,
+    Makefile:508). Reference: 20 its to 2.66976e-08."""
+    slv, F = _setup_case(3, (6, 6, 6), (0.1, 1.0, 1.0), 11)
+    res = slv.solve(F)
+    assert res["reason"] == "CONVERGED_RTOL"
+    # initial residual is PC-independent: must match the reference's
+    # monitor line 0 (testref/exSaddle3d_pseudoice_1.ref:6) to 6 digits
+    assert abs(res["history"][0] - 0.00273569) / 0.00273569 < 1e-4
+    # at or below the reference's 20 iterations
+    assert res["its"] <= 20
+    # the Givens recurrence value IS the true unpreconditioned residual
+    tr = _true_residual(slv, F, res["x"])
+    assert abs(tr - res["rnorm"]) / res["rnorm"] < 1e-6
+    # converged to the same rtol the reference hits
+    assert tr <= 1e-5 * res["history"][0]
+
+
+def test_abf_jitted_ar_2d():
+    """exSaddle2d_ar_1 config (abf.opts, SolCx, mx=my=32, size_y 0.1).
+    Reference: 8 its to 6.650e-10."""
+    slv, F = _setup_case(2, (32, 32), (1.0, 0.1), 0)
+    res = slv.solve(F)
+    assert res["reason"] == "CONVERGED_RTOL"
+    assert res["its"] <= 8
+    tr = _true_residual(slv, F, res["x"])
+    assert abs(tr - res["rnorm"]) / res["rnorm"] < 1e-6
+
+
+def test_abf_jitted_matches_host_quality():
+    """Jitted and host ABF reach the same convergence target on the same
+    operator: both true residuals meet rtol * ||r0||."""
+    slv, F = _setup_case(3, (4, 4, 4), (0.1, 1.0, 1.0), 11)
+    res = slv.solve(F)
+    tr = _true_residual(slv, F, res["x"])
+    assert tr <= 1e-5 * res["history"][0]
+
+    lines = []
+    opts = Options.from_args(
+        "-options_file /root/reference/abf.opts -model 11 -size_x 0.1 "
+        "-mx 4".split())
+    import os
+    prev = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        host = driver.saddle_solve(opts, 3,
+                                   log=lambda *a: lines.append(a))
+    finally:
+        os.chdir(prev)
+    tr_host = _true_residual(slv, F, np.asarray(host["X"]))
+    # same operator/RHS: host result must satisfy the same residual target
+    assert tr_host <= 1.2e-5 * res["history"][0]
+    # same convergence behavior despite the different (Chebyshev vs ILU0)
+    # Schur-block realization: within one iteration of the host path
+    assert abs(res["its"] - host["result"].its) <= 1
+
+
+def test_abf_four_levels_stencil_path():
+    """nlevels=4 exercises the deep-level block-stencil operators
+    (stencil_from_csr / stencil_apply) inside the V-cycle."""
+    slv, F = _setup_case(3, (8, 8, 8), (0.1, 1.0, 1.0), 11, nlevels=4)
+    res = slv.solve(F)
+    assert res["reason"] == "CONVERGED_RTOL"
+    tr = _true_residual(slv, F, res["x"])
+    assert abs(tr - res["rnorm"]) / res["rnorm"] < 1e-6
