@@ -201,45 +201,73 @@ class PCASM:
         return jnp.asarray(y)
 
 
-class PCILDL:
-    """PCILDL: single-level incomplete LDL^T with drop tolerance -- the
-    equivalent of the reference's ILUPACK-backed custom PC (pcildl.c:46-372:
-    upper-CSR extraction, optional matching+ordering, DSYMiluc
-    factorization, pilucsol triangular solves). The factorization runs in
-    native C++ (exsaddle_tpu/native/ildl.cpp).
+def _ildl_prepare(A_csr, ordering, matching):
+    """Shared ILDL/ILUPACK preprocessing: fill-friendly symmetric ordering
+    plus the scaling role of ILUPACK's MC64 matching (pcildl.c:147-193) --
+    an iterated symmetric equilibration driving every row/column inf-norm
+    to 1 (Sinkhorn-style), which is what makes a single drop tolerance act
+    uniformly across the velocity and pressure blocks. Returns
+    (perm, iperm, scale, upper_csr)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
 
-    Orderings: natural (u-before-p -- symmetric quasi-definite, safe for
-    1x1 pivots) or rcm. The reference's metisn/metise/amd orderings map to
-    rcm (METIS/AMD are not in this image); matching is consumed and the
-    quasi-definite ordering takes its stabilizing role. Prints the relative
-    fill line in the reference's format (pcildl.c:267)."""
+    A = A_csr.tocsr()
+    n = A.shape[0]
+    if ordering in ("rcm", "metisn", "metise", "amd"):
+        # reverse Cuthill-McKee: measured better than minimum-degree or
+        # nested-dissection orderings for these incomplete factors
+        perm = np.asarray(reverse_cuthill_mckee(A, True))
+    else:                       # natural
+        perm = np.arange(n)
+    iperm = np.empty(n, dtype=np.int64)
+    iperm[perm] = np.arange(n)
+    P = A[perm][:, perm].tocsr().sorted_indices()
+    data = np.abs(P.data.copy())
+    rows = np.repeat(np.arange(n), np.diff(P.indptr))
+    cols = P.indices
+    scale = np.ones(n)
+    niter = 15 if matching else 1
+    vals = P.data.copy()
+    for _ in range(niter):
+        rmax = np.zeros(n)
+        np.maximum.at(rmax, rows, data)
+        np.maximum.at(rmax, cols, data)
+        s = 1.0 / np.sqrt(np.maximum(rmax, 1e-300))
+        scale *= s
+        data = data * s[rows] * s[cols]
+    vals = vals * scale[rows] * scale[cols]
+    Ps = sp.csr_matrix((vals, P.indices, P.indptr), shape=P.shape)
+    Pu = sp.triu(Ps).tocsr()
+    return perm, iperm, scale, Pu
+
+
+class PCILDL:
+    """PCILDL: incomplete LDL^T with drop tolerance -- the equivalent of
+    the reference's ILUPACK-backed custom PC (pcildl.c:46-372: upper-CSR
+    extraction, matching+ordering, DSYMiluc factorization, pilucsol
+    triangular solves). The factorization runs in native C++
+    (exsaddle_tpu/native/ildl.cpp): Crout LDL^T with inverse-based
+    (growth-monitored) dropping, and -- standing in for DSYMiluc's internal
+    delayed/blocked pivoting -- deferral of unstable pivots to a small
+    Schur complement that is factored exactly.
+
+    Orderings: natural or rcm; the reference's metisn/metise/amd map to
+    rcm (measured better here; METIS/AMD are not in this image). matching
+    toggles the iterated equilibration standing in for MC64's scalings.
+    Prints the relative fill line in the reference's format
+    (pcildl.c:267)."""
 
     def __init__(self, A_csr, droptol=1e-2, ordering="metisn",
                  matching=True, log=print):
-        import scipy.sparse as sp
-        from scipy.sparse.csgraph import reverse_cuthill_mckee
-        from exsaddle_tpu.native import ILDLFactor
+        from exsaddle_tpu.native import MultilevelILDLFactor
 
-        A = A_csr.tocsr()
-        n = A.shape[0]
-        if ordering in ("rcm", "metisn", "metise", "amd"):
-            self.perm = np.asarray(reverse_cuthill_mckee(A, True))
-        else:                       # natural
-            self.perm = np.arange(n)
-        self.iperm = np.empty(n, dtype=np.int64)
-        self.iperm[self.perm] = np.arange(n)
-        P = A[self.perm][:, self.perm].tocsr()
-        # symmetric equilibration (the role of ILUPACK's matching scalings,
-        # pcildl.c:147-193): scale rows/cols by 1/sqrt(inf-norm) so the
-        # drop tolerance acts uniformly across the velocity/pressure blocks
-        cnorm = np.maximum(np.abs(P).max(axis=1).toarray().ravel(), 1e-300)
-        self.scale = 1.0 / np.sqrt(cnorm)
-        # scale stored values in place (matrix products would prune the
-        # explicit zeros that lock the pattern, femixedspace.c:2363-2367)
-        Ps = P.tocoo()
-        Ps.data = Ps.data * self.scale[Ps.row] * self.scale[Ps.col]
-        Pu = sp.triu(Ps.tocsr()).tocsr()
-        self.fact = ILDLFactor(Pu, droptol)
+        n = A_csr.shape[0]
+        self.perm, self.iperm, self.scale, Pu = _ildl_prepare(
+            A_csr, ordering, matching)
+        self.fact = MultilevelILDLFactor(
+            Pu, droptol, condest=20.0, drop_cap=5.0,
+            droptolS=max(droptol * 1e-2, 1e-14),
+            nmin=max(500, n // 30))
         nzA = Pu.nnz
         log(f"relative fill ILDL/A: {self.fact.nnz / nzA:8.1e} "
             f"(wrt {nzA} nz)")
@@ -252,23 +280,31 @@ class PCILDL:
 
 class PCILUPACK:
     """PCILUPACK: multilevel ILU (ILUPACK AMGfactor/AMGsol,
-    pcilupack.c:29-245). Realized as the same native incomplete LDL^T with
-    the ILUPACK drop tolerance; the condest/droptolS level-control options
-    are consumed (single-level realization -- level structure is an
-    implementation detail of the preconditioner quality, not its
-    interface)."""
+    pcilupack.c:29-245): condest-driven pivot rejection builds a genuine
+    multilevel factorization -- each level eliminates the pivots whose
+    inverse growth stays under the condest bound, the rejected unknowns
+    form an approximate Schur complement (drop tolerance droptolS) that
+    becomes the next level (exsaddle_tpu/native/ildl.cpp)."""
 
     def __init__(self, A_csr, droptol=1e-2, condest=100.0, droptolS=None,
                  log=print):
-        self.inner = PCILDL(A_csr, droptol=droptol, ordering="metisn",
-                            log=lambda *a, **k: None)
+        from exsaddle_tpu.native import MultilevelILDLFactor
+
+        self.perm, self.iperm, self.scale, Pu = _ildl_prepare(
+            A_csr, "metisn", True)
+        self.fact = MultilevelILDLFactor(
+            Pu, droptol, condest=condest, drop_cap=5.0,
+            droptolS=droptolS if droptolS is not None else droptol)
         # banner in the reference's format (pcilupack.c AMGfactor report)
-        log("factorization successful with 1 levels completed")
-        fill = self.inner.fact.nnz / max(self.inner.fact.n, 1)
-        log(f"final elbow space factor={self.inner.fact.nnz / A_csr.nnz * 2.0:8.2f}")
+        log(f"factorization successful with {self.fact.nlevels} levels "
+            "completed")
+        log(f"final elbow space factor="
+            f"{self.fact.nnz / max(Pu.nnz, 1) * 2.0:8.2f}")
 
     def apply(self, x):
-        return self.inner.apply(x)
+        xnp = np.asarray(x)
+        y = self.scale * self.fact.solve(self.scale * xnp[self.perm])
+        return jnp.asarray(y[self.iperm])
 
 
 class PCFieldSplitAdditive:

@@ -3,12 +3,14 @@ Makefile:494-506).
 
 The reference preconditioner is ILUPACK's Fortran DSYMiluc / AMGfactor with
 MC64 matching + METIS ordering; this framework's native C++ incomplete
-LDL^T (exsaddle_tpu/native/ildl.cpp) uses symmetric equilibration + RCM, so
-the factorizations -- and hence residual histories -- legitimately differ.
+LDL^T (exsaddle_tpu/native/ildl.cpp) uses iterated equilibration + RCM with
+inverse-based dropping and condest-driven pivot deferral, so the
+factorizations -- and hence residual histories -- legitimately differ.
 What must hold: the model banner, a fill report in the reference's format,
-robust convergence within a small factor of the reference's iteration
-count, and converged solution diagnostics matching the reference (the
-solution is preconditioner-independent at convergence)."""
+convergence within 1.3x of the reference's iteration count (measured: 8 vs
+the reference's 7 on exSaddle3d_ildl_1), and converged solution diagnostics
+matching the reference (the solution is preconditioner-independent at
+convergence)."""
 
 import re
 import numpy as np
@@ -50,10 +52,10 @@ def test_exSaddle3d_ildl_1():
     # matrix nnz must agree with the reference's (+-1 stored entry)
     nz = int(re.search(r"wrt (\d+) nz", fill[0]).group(1))
     assert abs(nz - 1458123) <= 1
-    # convergence within 2.5x of the reference's 7 iterations
+    # convergence within 1.3x of the reference's 7 iterations (measured: 8)
     its_ref = _iters(ref)
     its_out = _iters(out)
-    assert its_out <= 2.5 * its_ref + 1, (its_out, its_ref)
+    assert its_out <= 1.3 * its_ref, (its_out, its_ref)
     final = [_monitor_value(ln) for ln in out
              if _monitor_value(ln) is not None][-1]
     assert final < 5e-7
@@ -84,12 +86,15 @@ def test_exSaddle3d_ilupack_1():
         "-mx 4 -saddle_ksp_monitor_short",
         ndim=3)
     assert out[0] == "Boundary Conditions: SolCx"
-    assert any(re.match(r"factorization successful with \d+ levels "
-                        "completed", ln) for ln in out)
+    # a GENUINE multilevel factorization: more than one level completed
+    lvl = [re.match(r"factorization successful with (\d+) levels completed",
+                    ln) for ln in out]
+    lvl = [m for m in lvl if m]
+    assert len(lvl) == 1 and int(lvl[0].group(1)) > 1
     assert any(ln.startswith("final elbow space factor=") for ln in out)
     its_ref = _iters(ref)         # 2
     its_out = _iters(out)
-    assert its_out <= 4 * its_ref + 1, (its_out, its_ref)
+    assert its_out <= 2 * its_ref, (its_out, its_ref)
     final = [_monitor_value(ln) for ln in out
              if _monitor_value(ln) is not None][-1]
     r0 = [_monitor_value(ln) for ln in out
