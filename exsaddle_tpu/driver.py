@@ -124,6 +124,18 @@ def _make_saddle_matshell(lv, lame, dm_info=None):
                        diagonal=lambda: np.asarray(op.diagonal()),
                        csr=op.to_csr, fieldsplit=fieldsplit)
     amat.Sp = Sp
+    # -ksp_view metadata (exsaddle_tpu/ksp_view.py): names, the reference's
+    # preallocation estimate, I-node counts (dof-triple velocity rows
+    # coalesce; pressure rows do not), coupling-block sizes
+    from exsaddle_tpu.matfree import allocated_nnz, coupling_nnz
+    amat.view_info = {"name": "Asaddle",
+                      "allocated": allocated_nnz(mesh),
+                      "inode": mesh.n_u_nodes + mesh.np_}
+    A00.view_info = {"inode": mesh.n_u_nodes}
+    Sp.view_info = {"name": "Mpscaled"}
+    fieldsplit["view"] = {"A10_nnz": coupling_nnz(mesh),
+                          "A01_inode": mesh.n_u_nodes,
+                          "A00_n": mesh.nu}
     if dm_info is not None:
         amat.dm_info = dict(dm_info, mesh=mesh)
         nranks = dm_info["nranks"]

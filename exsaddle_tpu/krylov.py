@@ -319,8 +319,12 @@ class KSP:
     # --- GCR --------------------------------------------------------------
     def _solve_gcr(self, b, x0=None):
         """KSPSolve_GCR: right-preconditioned, unpreconditioned norm,
-        truncated to `restart` directions per cycle."""
+        truncated to `restart` directions per cycle. Tracks the cumulative
+        'restarts performed' statistic printed by KSPView_GCR (each cycle
+        after the very first across the KSP's lifetime restarts the
+        direction set)."""
         cfg = self.cfg
+        self.gcr_restarts = getattr(self, "gcr_restarts", -1) + 1
         x = (x0 if (cfg.initial_guess_nonzero and x0 is not None)
              else jnp.zeros_like(b))
         r = b - self.A(x) if (cfg.initial_guess_nonzero and x0 is not None) \
@@ -330,7 +334,11 @@ class KSP:
         state = {}
         self._monitor(its, rnorm)
         reason = self._converged(its, rnorm, state)
+        first_cycle = True
         while not reason:
+            if not first_cycle:
+                self.gcr_restarts += 1
+            first_cycle = False
             Vs = []
             Ss = []
             while len(Vs) < cfg.restart:

@@ -190,6 +190,44 @@ def assembled_nnz(mesh):
     return nnz_uu + 2 * nnz_up + nnz_pp
 
 
+def coupling_nnz(mesh):
+    """Nonzeros of one velocity-pressure coupling block (A10 = A01^T)."""
+    def s_q2q1(m):
+        tot = 0
+        for i in range(2 * m + 1):
+            e0 = max(i // 2 - (1 if i % 2 == 0 else 0), 0)
+            e1 = min(i // 2, m - 1)
+            tot += (e1 - e0 + 1) + 1
+        return tot
+    return mesh.ndim * int(np.prod([s_q2q1(m) for m in mesh.m_el]))
+
+
+def allocated_nnz(mesh):
+    """The reference's PREALLOCATED nonzero count for the saddle matrix
+    (SaddlePreallocation_SEQ, femixedspace.c:181-286): per-row estimates by
+    Q2 node parity class using UNCLIPPED interior stencil spans (5 nodes per
+    even direction, 3 per odd for velocity; 3/2 for pressure coupling), and
+    the full interior span for every pressure row. Reproduces e.g.
+    'allocated nonzeros=1585590' for mx=6 3D and 542628 for mx=4 3D
+    (testref/exSaddle3d_pseudoice_1.ref, exSaddle3d_ilupack_1.ref)."""
+    import itertools
+    d = mesh.ndim
+    total = 0
+    # velocity rows: d dofs per Q2 node
+    for parity in itertools.product((0, 1), repeat=d):
+        nnodes = 1
+        span_u = 1
+        span_p = 1
+        for m, par in zip(mesh.m_el, parity):
+            nnodes *= (m + 1) if par == 0 else m
+            span_u *= 5 if par == 0 else 3
+            span_p *= 3 if par == 0 else 2
+        total += d * nnodes * (d * span_u + span_p)
+    # pressure rows: full interior span
+    total += mesh.n_p_nodes * (d * 5 ** d + 3 ** d)
+    return total
+
+
 # --------------------------------------------------------------------------
 # Parity (even/odd) layout: the fast TPU path.
 #

@@ -290,6 +290,9 @@ class PCILUPACK:
                  log=print):
         from exsaddle_tpu.native import MultilevelILDLFactor
 
+        self.droptol = droptol
+        self.condest = condest
+        self.droptolS = droptolS if droptolS is not None else droptol
         self.perm, self.iperm, self.scale, Pu = _ildl_prepare(
             A_csr, "metisn", True)
         self.fact = MultilevelILDLFactor(

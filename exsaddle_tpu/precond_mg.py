@@ -157,17 +157,52 @@ class PCMG:
         return lv.smoother.solve(b, x0=x).x        # post-smooth, x warm
 
 
-def galerkin_coarse_operators(A_fine_csr, prolongations):
+def galerkin_coarse_operators(A_fine_csr, prolongations, dof=1):
     """Compute the Galerkin hierarchy A_k = P_k^T A_{k+1} P_k (PCMG Galerkin,
     abf.opts:13). prolongations: list from coarsest->fine transfer, i.e.
     prolongations[k] maps level k to level k+1. Returns list of CSR coarse
-    operators [A_0 ... A_{nlev-2}]."""
+    operators [A_0 ... A_{nlev-2}].
+
+    dof > 1 inflates each coarse pattern to full dof x dof node blocks
+    (explicit zeros), matching PETSc's MatPtAP result for a bs=dof
+    interpolation (the reference's coarse operators report e.g.
+    nonzeros=9000 = 9 * node-pairs, testref/exSaddle3d_pseudoice_1.ref)."""
+    import scipy.sparse as sp
     ops = [None] * len(prolongations)
     A = A_fine_csr
     for k in range(len(prolongations) - 1, -1, -1):
         P = prolongations[k].to_scipy()
         A = (P.T @ (A @ P)).tocsr()
         A.sum_duplicates()
+        if dof > 1:
+            # inflate to the node-block pattern with EXPLICIT zeros (scipy
+            # arithmetic would prune them): values of A scattered into the
+            # block-union structure
+            C = A.tocoo()
+            nb = A.shape[0] // dof
+            blk = sp.coo_matrix(
+                (np.ones_like(C.data), (C.row // dof, C.col // dof)),
+                shape=(nb, nb)).tocsr()
+            blk.sum_duplicates()
+            blk.data[:] = 1.0
+            pat = sp.kron(blk, np.ones((dof, dof)), format="csr")
+            pat.sort_indices()
+            data = np.zeros(pat.nnz)
+            Ac = A.tocsr().sorted_indices()
+            rows = np.repeat(np.arange(A.shape[0]), np.diff(Ac.indptr))
+            # locate each A entry inside pat's (superset) row structure
+            row_start = pat.indptr[rows]
+            row_end = pat.indptr[rows + 1]
+            # per-entry binary search within its row slice
+            pos = np.empty(Ac.nnz, dtype=np.int64)
+            for r in range(A.shape[0]):
+                a0, a1 = Ac.indptr[r], Ac.indptr[r + 1]
+                p0, p1 = pat.indptr[r], pat.indptr[r + 1]
+                pos[a0:a1] = p0 + np.searchsorted(
+                    pat.indices[p0:p1], Ac.indices[a0:a1])
+            data[pos] = Ac.data
+            A = sp.csr_matrix((data, pat.indices, pat.indptr),
+                              shape=A.shape)
         ops[k] = A
     return ops
 

@@ -112,9 +112,11 @@ def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
             and getattr(pmat, "block_info", None) is not None):
         default_type = "bjacobi"
     ptype = opts.get_string("pc_type", default_type, prefix=prefix)
-    # mark factor-package options as consumed (we always use our own
-    # factorizations in place of umfpack/petsc)
-    opts.get_string("pc_factor_mat_solver_type", None, prefix=prefix)
+    # the configured factor package (umfpack in the reference's coarse/LU
+    # configs) -- our stable dense LU stands in for it; -ksp_view reports
+    # the configured package
+    factor_pkg = opts.get_string("pc_factor_mat_solver_type", None,
+                                 prefix=prefix)
 
     if ptype == "none":
         return precond.PCNone()
@@ -124,17 +126,15 @@ def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
         return precond.PCILU(pmat.csr())
     if ptype == "sor":
         return make_sor(opts, prefix, pmat)
-    if ptype in ("lu", "cholesky"):
-        # PETSc's parallel coarse default is PCREDUNDANT(LU); consume its
-        # nested factor option so -options_left accounting matches
-        opts.get_string("redundant_pc_factor_mat_solver_type", None,
-                        prefix=prefix)
-        return precond.PCLU(pmat.dense())
-    if ptype == "redundant":
-        # serial-equivalent of PCREDUNDANT: replicate + direct solve
-        opts.get_string("redundant_pc_factor_mat_solver_type", None,
-                        prefix=prefix)
-        return precond.PCLU(pmat.dense())
+    if ptype in ("lu", "cholesky", "redundant"):
+        # PETSc's parallel coarse default is PCREDUNDANT(LU) -- the serial
+        # equivalent replicates + direct-solves; consume its nested factor
+        # option so -options_left accounting matches
+        rpkg = opts.get_string("redundant_pc_factor_mat_solver_type", None,
+                               prefix=prefix)
+        pc = precond.PCLU(pmat.dense())
+        pc.factor_package = factor_pkg or rpkg
+        return pc
     if ptype == "bjacobi":
         import jax.numpy as jnp
         blocks = getattr(pmat, "block_info", None)
@@ -172,7 +172,7 @@ def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
             matching=opts.get_bool("pc_ildl_matching", True, prefix=prefix),
             log=log)
     if ptype == "ilupack":
-        return precond.PCILUPACK(
+        pc = precond.PCILUPACK(
             pmat.csr(),
             droptol=opts.get_real("pc_ilupack_droptol", 1e-2, prefix=prefix),
             condest=opts.get_real("pc_ilupack_condest", 100.0,
@@ -180,6 +180,7 @@ def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
             droptolS=opts.get_real("pc_ilupack_droptolS", 1e-2,
                                    prefix=prefix),
             log=log)
+        return pc
     raise NotImplementedError(f"PC type {ptype}")
 
 
@@ -281,6 +282,12 @@ def make_fieldsplit(opts, prefix, amat, nullspace=None, log=print):
     mult_pu = info["mult_pu"]  # xu -> A10 xu
     Sp = info["Sp"]            # MatShell: user Schur pre matrix (Mpscaled)
 
+    # -ksp_view display names for the split operators
+    if getattr(A00, "view_info", None) is not None:
+        A00.view_info.setdefault("name", f"({prefix}fieldsplit_u_)")
+    if getattr(A11, "view_info", None) is None:
+        A11.view_info = {}
+    A11.view_info.setdefault("name", f"({prefix}fieldsplit_p_)")
     ksp_u = make_ksp(opts, prefix + "fieldsplit_u_", A00,
                      ksp_defaults=KSPConfig(type="gmres"),
                      pc_default="ilu", log=log)
@@ -290,7 +297,12 @@ def make_fieldsplit(opts, prefix, amat, nullspace=None, log=print):
     ksp_p = make_ksp(opts, prefix + "fieldsplit_p_", schur_mat, pmat=Sp,
                      ksp_defaults=KSPConfig(type="gmres"),
                      pc_default="ilu", log=log)
-    return precond.PCFieldSplitSchurUpper(A00.n, ksp_u, ksp_p, mult_up)
+    pc = precond.PCFieldSplitSchurUpper(A00.n, ksp_u, ksp_p, mult_up)
+    vw = info.get("view")
+    if vw is not None:
+        pc.schur_view = dict(vw, A11=A11)
+        schur_mat.schur_of = pc
+    return pc
 
 
 def _dmda_coarsen(nn):
@@ -325,11 +337,18 @@ def make_pc_mg(opts, prefix, amat, log=print):
             "options-driven PCMG currently requires pc_mg_galerkin "
             "(non-Galerkin saddle MG is configured programmatically by the "
             "driver)")
-    coarse_csrs = precond_mg.galerkin_coarse_operators(amat.csr(), prolongs)
-    mats = [MatShell(P.coarse_n, precond_mg.csr_apply(A),
+    coarse_csrs = precond_mg.galerkin_coarse_operators(amat.csr(), prolongs,
+                                                       dof=dof)
+    mats = []
+    for P, A in zip(prolongs, coarse_csrs):
+        m = MatShell(P.coarse_n, precond_mg.csr_apply(A),
                      diagonal=lambda A=A: np.asarray(A.diagonal()),
                      csr=A)
-            for P, A in zip(prolongs, coarse_csrs)]
+        # PETSc's MatPtAP products: bs=dof, no preallocation, I-nodes over
+        # dof-blocks (testref/exSaddle3d_pseudoice_1.ref coarse Mat lines)
+        m.view_info = ({"bs": dof, "allocated": 0,
+                        "inode": P.coarse_n // dof} if dof > 1 else {})
+        mats.append(m)
     mats.append(amat)             # finest
 
     pcmg = build_mg(opts, prefix, mats, prolongs, log=log)
@@ -356,6 +375,7 @@ def build_mg(opts, prefix, level_mats, prolongs, coarse_pc_forced=None,
         sm = make_ksp(opts, use_prefix, level_mats[k],
                       ksp_defaults=smoother_defaults, pc_default="sor",
                       log=log)
+        sm.cfg.prefix = lvl_prefix      # KSPView shows the numbered prefix
         levels.append(precond_mg.MGLevel(level_mats[k].apply, sm,
                                          prolongs[k - 1]))
     coarse_defaults = KSPConfig(type="preonly", norm_type="none",

@@ -51,13 +51,23 @@ def _monitor_value(line):
 
 
 def compare_lines(ref_lines, out_lines, rtol=1e-3, int_exact=True,
-                  context=""):
+                  context="", rtol_overrides=()):
+    """rtol_overrides: [(regex, rtol)] -- lines matching a regex compare
+    their float tokens at that tolerance instead (documented runtime
+    values, e.g. Chebyshev eigenvalue bounds that depend on PETSc's
+    internal esteig noise vector)."""
     if len(ref_lines) != len(out_lines):
         raise MismatchError(
             f"{context}: line count {len(out_lines)} != ref "
             f"{len(ref_lines)}\n--- ref ---\n" + "\n".join(ref_lines)
             + "\n--- out ---\n" + "\n".join(out_lines))
+    overrides = [(re.compile(pat), r) for pat, r in rtol_overrides]
     for ln, (rl, ol) in enumerate(zip(ref_lines, out_lines)):
+        line_rtol = rtol
+        for pat, r in overrides:
+            if pat.search(rl):
+                line_rtol = r
+                break
         rt, ot = _tokenize(rl), _tokenize(ol)
         # a residual at the bottom of a direct solve is rounding noise; both
         # sides below ~1e-10 count as matching regardless of format branch
@@ -75,13 +85,17 @@ def compare_lines(ref_lines, out_lines, rtol=1e-3, int_exact=True,
         for a, b in zip(rt, ot):
             if a == b:
                 continue
+            # strip matching trailing punctuation ('0.945799,' in the
+            # eigenvalue-estimate lines) before the float test
+            if (a[-1:] in (",", ";") and a[-1:] == b[-1:]):
+                a, b = a[:-1], b[:-1]
             if _is_float(a) and _is_float(b):
                 fa, fb = float(a), float(b)
                 denom = max(abs(fa), abs(fb), 1e-300)
-                if abs(fa - fb) / denom > rtol:
+                if abs(fa - fb) / denom > line_rtol:
                     raise MismatchError(
                         f"{context} line {ln + 1}: float {b} != {a} "
-                        f"(rtol {rtol})\nref: {rl}\nout: {ol}")
+                        f"(rtol {line_rtol})\nref: {rl}\nout: {ol}")
             elif _is_int(a) and _is_int(b) and not int_exact:
                 continue
             else:
@@ -137,7 +151,8 @@ def compare_monitor_loose(ref_lines, out_lines, context="", its_slack=2,
 def check_against_ref(refname, args, ndim, lame=False, rtol=1e-3,
                       int_exact=True, skip_ref_predicate=None,
                       monitor_mode="strict", cwd=None, truncate_at=None,
-                      hist_rtol=0.15, its_slack=2, nranks=1):
+                      hist_rtol=0.15, its_slack=2, nranks=1,
+                      rtol_overrides=()):
     """Run a case and compare to testref/<refname>.ref.
 
     truncate_at: regex; the ref is cut at its first matching line (used to
@@ -172,8 +187,8 @@ def check_against_ref(refname, args, ndim, lame=False, rtol=1e-3,
         ref_rest = [ln for ln in ref_lines if not is_mon(ln)]
         out_rest = [ln for ln in out_lines if not is_mon(ln)]
         compare_lines(ref_rest, out_rest, rtol=rtol, int_exact=False,
-                      context=refname)
+                      context=refname, rtol_overrides=rtol_overrides)
     else:
         compare_lines(ref_lines, out_lines, rtol=rtol, int_exact=int_exact,
-                      context=refname)
+                      context=refname, rtol_overrides=rtol_overrides)
     return res

@@ -30,13 +30,23 @@ def test_exSaddle3d_ar_1():
 
 
 def test_exSaddle3d_pseudoice_1():
+    """The flagship case INCLUDING the full 338-line -ksp_view solver tree
+    (testref/exSaddle3d_pseudoice_1.ref:27-365), line-diffed byte-for-byte
+    except for two documented runtime-value classes:
+
+    - 'eigenvalues estimate via gmres min/max' -- the raw Ritz extremes of
+      the esteig probe depend on PETSc's internal noise vector
+      (KSPSetNoisy_Private); skipped (the derived bounds are checked).
+    - 'eigenvalue estimates used' -- derived from emax via the 0,0.2,0,1.1
+      transform; matches to ~0.7%, compared at rtol 0.02.
+
+    Monitor history: measured deviation <= 3.9% at every iteration (21 vs
+    20 its from the same esteig noise difference); bounds set at 0.06/1."""
     check_against_ref(
         "exSaddle3d_pseudoice_1",
-        "-options_file abf.opts -model 11 -size_x 0.1 -mx 6 "
-        "-saddle_ksp_monitor_short",
+        "-saddle_ksp_view -options_file abf.opts -model 11 -size_x 0.1 "
+        "-mx 6 -saddle_ksp_monitor_short",
         ndim=3, monitor_mode="loose", cwd=ABF,
-        truncate_at=r"^KSP Object:",
-        # esteig noise-vector difference (KSPSetNoisy_Private is
-        # PETSc-internal) perturbs the Chebyshev bounds ~1%; measured
-        # history deviation peaks at ~17% near convergence, 21 vs 20 its
-        hist_rtol=0.2, its_slack=1)
+        skip_ref_predicate=lambda ln: "eigenvalues estimate via gmres" in ln,
+        rtol_overrides=((r"eigenvalue estimates used", 0.02),),
+        hist_rtol=0.06, its_slack=1)
