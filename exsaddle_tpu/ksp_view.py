@@ -265,7 +265,7 @@ def view_pc(pc, prefix, log=print, indent=0, nranks=1, pmat=None, amat=None,
         if pmat is not None and getattr(pmat, "_csr", None) is not None:
             nnz = pmat.csr().nnz
         _factored_block(log, indent + 6, nranks, "petsc",
-                        getattr(pmat, "n", pc.L.shape[0]), nnz=nnz,
+                        getattr(pmat, "n", pc.n), nnz=nnz,
                         inode=_vi(pmat, "inode") if pmat else None)
         mat_footer()
     elif isinstance(pc, precond.PCLU):

@@ -226,3 +226,36 @@ class MultilevelILDLFactor:
 
     def solve(self, b):
         return self._solve_level(0, b)
+
+
+class ILU0Factor:
+    """ILU(0) on the original CSR pattern, natural ordering (PETSc PCILU
+    defaults). Factorization and triangular solves run in native C++
+    (exsaddle_tpu/native/ilu0.cpp)."""
+
+    def __init__(self, A_csr):
+        lib = _load("ilu0")
+        lib.ilu0_factor.restype = ctypes.c_long
+        A = A_csr.tocsr().sorted_indices()
+        self.n = A.shape[0]
+        self.Ap = np.ascontiguousarray(A.indptr, dtype=np.int64)
+        self.Aj = np.ascontiguousarray(A.indices, dtype=np.int64)
+        self.Ax = np.ascontiguousarray(A.data, dtype=np.float64).copy()
+        rc = lib.ilu0_factor(
+            ctypes.c_long(self.n),
+            self.Ap.ctypes.data_as(_c_long_p),
+            self.Aj.ctypes.data_as(_c_long_p),
+            self.Ax.ctypes.data_as(_c_dbl_p))
+        if rc >= 0:
+            raise ZeroDivisionError(f"ILU(0) zero pivot at row {rc}")
+        self._lib = lib
+
+    def solve(self, b):
+        x = np.array(b, dtype=np.float64, copy=True)
+        self._lib.ilu0_solve(
+            ctypes.c_long(self.n),
+            self.Ap.ctypes.data_as(_c_long_p),
+            self.Aj.ctypes.data_as(_c_long_p),
+            self.Ax.ctypes.data_as(_c_dbl_p),
+            x.ctypes.data_as(_c_dbl_p))
+        return x

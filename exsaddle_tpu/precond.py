@@ -34,60 +34,19 @@ class PCJacobi:
         return self.inv_diag * x
 
 
-def ilu0_factor(A_csr):
-    """ILU(0) factorization of a scipy CSR matrix, natural ordering
-    (PETSc PCILU defaults: 0 levels of fill, no shifts).
-
-    Returns (L, U) as dense arrays: L unit-lower, U upper. Dense storage is a
-    deliberate setup-phase choice for the small blocks the reference
-    configures ILU on (pressure mass matrices, small velocity blocks)."""
-    A = A_csr.tocsr().sorted_indices()
-    n = A.shape[0]
-    indptr, indices, data = A.indptr, A.indices, A.data.copy()
-    # column position lookup per row for O(1) pattern queries
-    for i in range(n):
-        row_start, row_end = indptr[i], indptr[i + 1]
-        cols_i = indices[row_start:row_end]
-        pos_i = {c: row_start + k for k, c in enumerate(cols_i)}
-        for kk in range(row_start, row_end):
-            k = indices[kk]
-            if k >= i:
-                break
-            # a_ik /= u_kk
-            dk_pos = None
-            for t in range(indptr[k], indptr[k + 1]):
-                if indices[t] == k:
-                    dk_pos = t
-                    break
-            ukk = data[dk_pos]
-            if ukk == 0.0:
-                raise ZeroDivisionError(f"ILU(0) zero pivot at row {k}")
-            data[kk] /= ukk
-            a_ik = data[kk]
-            for t in range(dk_pos + 1, indptr[k + 1]):
-                j = indices[t]
-                pj = pos_i.get(j)
-                if pj is not None:
-                    data[pj] -= a_ik * data[t]
-    import scipy.sparse as sp
-    M = sp.csr_matrix((data, indices, indptr), shape=A.shape)
-    Md = M.toarray()
-    L = np.tril(Md, -1) + np.eye(n)
-    U = np.triu(Md)
-    return L, U
-
-
 class PCILU:
-    """PCILU: ILU(0), natural ordering. Apply: U \\ (L \\ x)."""
+    """PCILU: ILU(0), natural ordering (PETSc PCILU defaults: 0 levels of
+    fill, no shifts). Factorization and triangular solves run in native
+    C++ on the original CSR pattern (exsaddle_tpu/native/ilu0.cpp) --
+    setup cost O(nnz * row-width), no dense blowup."""
 
     def __init__(self, A_csr):
-        L, U = ilu0_factor(A_csr)
-        self.L = jnp.asarray(L)
-        self.U = jnp.asarray(U)
+        from exsaddle_tpu.native import ILU0Factor
+        self.fact = ILU0Factor(A_csr)
+        self.n = self.fact.n
 
     def apply(self, x):
-        y = jsla.solve_triangular(self.L, x, lower=True, unit_diagonal=True)
-        return jsla.solve_triangular(self.U, y, lower=False)
+        return jnp.asarray(self.fact.solve(np.asarray(x)))
 
 
 class PCLU:

@@ -209,11 +209,25 @@ def galerkin_coarse_operators(A_fine_csr, prolongations, dof=1):
 
 def csr_apply(A_csr, max_dense=4096):
     """Return a jnp-compatible matvec closure for a scipy CSR operator:
-    dense below max_dense rows, BCOO sparse above."""
+    dense below max_dense rows (MXU matmul), padded-row ELL gather above.
+
+    ELL keeps the apply as a static-shape gather + row-sum -- the
+    TPU-friendly form for these bounded-stencil matrices (every row of a
+    Q2/Q1 grid operator has <= a few hundred entries); no
+    jax.experimental.sparse in any hot path."""
     n = A_csr.shape[0]
     if n <= max_dense:
         Ad = jnp.asarray(A_csr.toarray())
         return lambda x: Ad @ x
-    from jax.experimental import sparse as jsparse
-    Ab = jsparse.BCOO.from_scipy_sparse(A_csr)
-    return lambda x: Ab @ x
+    A = A_csr.tocsr().sorted_indices()
+    counts = np.diff(A.indptr)
+    k = int(counts.max())
+    cols = np.zeros((n, k), dtype=np.int32)
+    vals = np.zeros((n, k))
+    rows = np.repeat(np.arange(n), counts)
+    slot = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+    cols[rows, slot] = A.indices
+    vals[rows, slot] = A.data
+    colsj = jnp.asarray(cols)
+    valsj = jnp.asarray(vals)
+    return lambda x: jnp.sum(valsj * x[colsj], axis=1)
