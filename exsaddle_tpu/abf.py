@@ -275,6 +275,14 @@ class ABFConfig:
     gcr_max_it: int = 200
     cheb_its: int = 8
     p_cheb_its: int = 12
+    # TPU MXU matmul precision for every dot_general in the solve trace.
+    # The TPU default ("bfloat16", one MXU pass) perturbs the operator and
+    # the Gram-Schmidt dots by ~1e-3 relative, which degrades the outer
+    # FGMRES from the reference's ~20 iterations to 47 (mx=6) / 175 (mx=12)
+    # measured on v5e. "float32" (6-pass) restores f64-equivalent counts;
+    # the element-apply matmuls are bandwidth-bound so the extra MXU passes
+    # are nearly free.
+    matmul_precision: str = "float32"
     # grid metadata (filled by build)
     cls_shapes: tuple = ()
     m_el: tuple = ()
@@ -450,6 +458,10 @@ def make_abf_solver(cfg):
     nd = cfg.ndim
 
     def solver(data, F, x0):
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _solver_body(data, F, x0)
+
+    def _solver_body(data, F, x0):
         op = data["op"]
         aux = data["aux"]
 
@@ -599,9 +611,10 @@ class ABFSolver:
         if ir:
             @jax.jit
             def resid64(op64, aux64, F64, x64):
-                r = jax.tree.map(jnp.subtract, F64,
-                                 mult_tree(op64, aux64, x64))
-                return r, treeops.tnorm(r)
+                with jax.default_matmul_precision("float32"):
+                    r = jax.tree.map(jnp.subtract, F64,
+                                     mult_tree(op64, aux64, x64))
+                    return r, treeops.tnorm(r)
 
             self._ir = (op64, aux64, resid64)
 
@@ -663,19 +676,30 @@ class ABFSolver:
         inner_total = 0
         cast32 = lambda t: jax.tree.map(
             lambda a: jnp.asarray(a, self.dtype), t)
+        stalled = False
         for rounds in range(1, max_rounds + 1):
             rt = cast32(r64)
-            dx, its, _, _, _ = self._solve(self.data, rt,
-                                           treeops.tzeros_like(rt))
+            dx, its, _, state, _ = self._solve(self.data, rt,
+                                               treeops.tzeros_like(rt))
             inner_total += int(its)
-            x64 = jax.tree.map(
+            if int(state) < 0:
+                # inner solve diverged: a correction built from it would
+                # amplify the residual round over round -- stop honestly
+                # rather than add garbage (round-2 bench failure mode)
+                stalled = True
+                break
+            x_try = jax.tree.map(
                 lambda x, d: x + jnp.asarray(d, jnp.float64), x64, dx)
-            r64, rnorm = resid64(op64, aux64, F64, x64)
+            r_try, rn_try = resid64(op64, aux64, F64, x_try)
+            if float(rn_try) >= float(rnorm):
+                stalled = True          # no progress: reject the update
+                break
+            x64, r64, rnorm = x_try, r_try, rn_try
             history.append(float(rnorm))
             if float(rnorm) <= rtol * rnorm0:
                 break
         flat = np.asarray(from_tree(x64))
         return {"x": flat[self.setup["iperm"]], "rounds": rounds,
                 "inner_its": inner_total, "rnorm": float(rnorm),
-                "rnorm0": rnorm0, "history": history,
+                "rnorm0": rnorm0, "history": history, "stalled": stalled,
                 "converged": float(rnorm) <= rtol * rnorm0}
