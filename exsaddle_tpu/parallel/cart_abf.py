@@ -1,0 +1,707 @@
+"""FULL ABF solve over the cartesian N-D device mesh, with PER-SHARD setup.
+
+The flagship solver (exsaddle_tpu/abf.py: FGMRES / fieldsplit-Schur-UPPER /
+GCR+Galerkin-MG / Chebyshev) distributed over a (px, py, pz) device grid --
+the reference's complete DMDA decomposition (femixedspace.c:1154-1161,
+PETSC_DECIDE rank grids in every dimension), not just 1D slabs:
+
+  - interface node planes are stored redundantly along EVERY decomposed
+    axis (DMDA ghosted-local); element gathers are communication-free;
+  - after element scatters, interface partial sums are exchanged with
+    `lax.ppermute` one axis at a time (sequential additive exchanges
+    propagate edge/corner sums correctly);
+  - Gram-Schmidt dots weight duplicated planes by the product of per-axis
+    ownership masks and `lax.psum` over all mesh axes at once;
+  - MG: fine level and the factored Galerkin L-2 level (R A_fine P) smooth
+    on shards with per-axis halos; deeper levels and the dense coarse
+    inverse are REPLICATED (PCREDUNDANT, Makefile:276) via
+    ownership-masked psum gathers;
+  - setup is PER-SHARD (femixedspace.c:2306-2647 per-rank assembly): each
+    device box assembles only its OWN elements -- the transient element
+    batch is (nel/ndev, ...) and the global (nel, 81, 81) batch is never
+    materialized. Coefficients come from a ghost-ring-extended local Q1
+    projection that reproduces the global projection exactly; the small
+    replicated quantities (Galerkin L-2 matrix, deep stencils, coarse
+    inverse, Schur mass matrix) are accumulated as per-box contributions
+    -- the in-process stand-in for MatAssembly stash exchanges.
+
+The operator everywhere is the FACTORED matrix-free parity apply
+(matfree.py): per-device HBM is O(nel_loc * nqp * ncomp), not
+O(nel_loc * 81^2).
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from exsaddle_tpu import treeops
+from exsaddle_tpu.abf import (ABFConfig, prolong_parity, restrict_parity,
+                              prolong_grid, restrict_grid, stencil_apply,
+                              stencil_from_csr, mult_u_tree, mult_up_tree,
+                              mp_apply, _esteig_bounds)
+from exsaddle_tpu.matfree import ParityMatFreeOperator, mult_tree
+from exsaddle_tpu.grid_ops import (_gather_q2, _scatter_q2, _gather_q1,
+                                   _scatter_q1)
+from exsaddle_tpu.parallel.cart import AXES, CartPartition, halo_add_axis
+
+
+# --------------------------------------------------------------------------
+# host-side helpers
+# --------------------------------------------------------------------------
+
+def split_grid_parity(g, nd):
+    """Node-grid array (reversed spatial dims + trailing) -> 2^nd parity
+    subgrids. Local boxes start at even global node indices (macro-element
+    alignment), so local parity == global parity."""
+    subs = []
+    for p in range(2 ** nd):
+        idx = tuple(slice((p >> (nd - 1 - k)) & 1, None, 2)
+                    for k in range(nd))
+        subs.append(g[idx])
+    return subs
+
+
+def _local_cls_shapes(mloc, nd):
+    """Per-class local parity shapes (reversed dims): axis d contributes
+    mloc[d]+1 nodes for even parity (shared planes), mloc[d] for odd."""
+    shapes = []
+    for p in range(2 ** nd):
+        shapes.append(tuple(mloc[nd - 1 - k] + 1 - ((p >> (nd - 1 - k)) & 1)
+                            for k in range(nd)))
+    return tuple(shapes)
+
+
+@dataclass(frozen=True)
+class CartABFConfig:
+    base: ABFConfig          # global grid metadata + solver knobs
+    dev_shape: tuple         # devices per grid dimension (px, py[, pz])
+    mloc: tuple              # local elements per dimension
+    cls_shapes_loc: tuple
+    nn_p_loc: tuple          # local Q1 node counts (x first)
+    lvl1_loc_shape: tuple    # local L-2 spatial shape (reversed)
+
+
+def build_cart_abf(part, ctx, bc_idx, bc_vals, lame=False,
+                   dtype=jnp.float64, nlevels=3, cfg_kw=None):
+    """Per-shard setup over a CartPartition.
+
+    Per device box: ghost-ring coefficient projection, factored operator
+    slabs, transient (nel_loc, nud, nud) element batch for the fine Jacobi
+    diagonal + Galerkin/Schur contributions. Global accumulations (L-2
+    Galerkin matrix, Mp, diagonals) emulate the reference's MatAssembly
+    stash exchange (femixedspace.c:2624-2625).
+
+    Returns (dcfg, ddata, setup)."""
+    import scipy.sparse as sp
+    from exsaddle_tpu import models as emodels, driver
+    from exsaddle_tpu.assembly import (FESpace, assemble_element_matrices,
+                                       assemble_schur_pre, project_qp_to_q1,
+                                       interp_q1_to_qp)
+    from exsaddle_tpu.mesh import SaddleMesh
+    from exsaddle_tpu.matfree import _strain_matrix
+    from exsaddle_tpu.precond_mg import (Prolongation,
+                                         galerkin_coarse_operators)
+
+    if lame:
+        raise NotImplementedError(
+            "cartesian distributed ABF covers the Stokes flagship "
+            "(abf.opts); Lame runs use the slab path or host solvers")
+    assert nlevels >= 3, "cartesian ABF needs >= 3 MG levels"
+    mesh = part.mesh
+    nd = mesh.ndim
+    mloc = part.mloc
+    nel_loc = part.nel_loc
+    stack = part._stack_shape()
+    cell = [s / m for s, m in zip(mesh.size, mesh.m_el)]
+
+    # velocity-grid hierarchy (fine -> coarse), DMDA (M+1)/2 coarsening
+    grids = [tuple(mesh.nn_u)]
+    for _ in range(nlevels - 1):
+        grids.append(tuple((m + 1) // 2 for m in grids[-1]))
+    grids = grids[::-1]
+    for g in grids:
+        assert all(n >= 2 for n in g), "too many MG levels for this mesh"
+    lvl_grids = [tuple(reversed(g)) for g in grids]
+    # L-2 node grid == element-corner grid: local boxes need mloc nodes
+    # per axis plus the shared plane, i.e. axis counts divisible layouts
+    assert grids[-2] == tuple(m + 1 for m in mesh.m_el), (
+        "cartesian ABF assumes one coarsening step lands on the element "
+        "corner grid")
+
+    # fine -> L-2 interpolation (global CSR, setup only)
+    P_f = Prolongation(grids[-2], grids[-1], nd).to_scipy()
+
+    # per-box accumulation targets
+    nu = mesh.nu
+    n1 = int(np.prod(grids[-2])) * nd
+    diag_u = np.zeros(nu)
+    A1_acc = sp.csr_matrix((n1, n1))
+    Mp_acc = sp.csr_matrix((mesh.np_, mesh.np_))
+    dmp = np.zeros(mesh.np_)
+    eta_g = np.zeros((mesh.nel, 27 if nd == 3 else 9))   # nqp fine
+    pscale_g = np.zeros_like(eta_g)
+
+    sv_stack = None
+    ps_stack = np.empty(stack + (nel_loc, eta_g.shape[1]))
+
+    # global element index grid (x-fastest) for box slicing
+    el_grid = np.arange(mesh.nel).reshape(tuple(reversed(mesh.m_el)))
+
+    for box in part.dev_boxes():
+        dev_idx = tuple(reversed(box))
+        e0 = [box[d] * mloc[d] for d in range(nd)]
+        # --- ghost-ring-extended coefficient projection (exact vs global,
+        # cart.assemble_local_blocks rationale) ---
+        lo = [1 if e0[d] > 0 else 0 for d in range(nd)]
+        hi = [1 if e0[d] + mloc[d] < mesh.m_el[d] else 0 for d in range(nd)]
+        m_ext = tuple(mloc[d] + lo[d] + hi[d] for d in range(nd))
+        origin = np.array([cell[d] * (e0[d] - lo[d]) for d in range(nd)])
+        emesh = SaddleMesh(nd, m_ext,
+                           tuple(cell[d] * m_ext[d] for d in range(nd)))
+        efes = FESpace(emesh)
+        pts = efes.qp_coords.reshape(-1, nd) + origin[None, :]
+        c = emodels.evaluate_coefficients(ctx, pts).reshape(
+            emesh.nel, efes.nqp, -1)
+        nodal = project_qp_to_q1(efes, c)
+        coeff_ext = driver._qp_dict(ctx, interp_q1_to_qp(efes, nodal))
+        # slice the owned elements (drop the ghost ring)
+        sl = tuple(slice(lo[d], lo[d] + mloc[d])
+                   for d in reversed(range(nd)))
+
+        def owned(a):
+            a = np.asarray(a)
+            return a.reshape(tuple(reversed(m_ext))
+                             + a.shape[1:])[sl].reshape((-1,) + a.shape[1:])
+
+        coeff = {k: owned(v) for k, v in coeff_ext.items()}
+
+        # --- local factored operator data ---
+        lmesh = SaddleMesh(nd, mloc,
+                           tuple(cell[d] * mloc[d] for d in range(nd)))
+        lfes = FESpace(lmesh)
+        G0 = lfes.dNu_glob[0]
+        detJ0 = float(lfes.detJ_u[0, 0])
+        Bs, wc = _strain_matrix(G0, nd, lmesh.u_basis)
+        fac = lfes.wq * detJ0
+        visc = coeff["mu"] if lame else coeff["eta"]
+        sv = fac[None, :, None] * visc[:, :, None] * wc[None, None, :]
+        if sv_stack is None:
+            sv_stack = np.empty(stack + sv.shape)
+        sv_stack[dev_idx] = sv
+        if lame:
+            inv = 1.0 / coeff["lambda"] + 1.0 / coeff["mu"]
+        else:
+            inv = 1.0 / coeff["eta"]
+        ps_stack[dev_idx] = -(lfes.wq[None, :] * lfes.detJ_p) * inv
+
+        el_ids = el_grid[tuple(
+            slice(e0[d], e0[d] + mloc[d])
+            for d in reversed(range(nd)))].reshape(-1)
+        eta_g[el_ids] = visc
+        pscale_g[el_ids] = ps_stack[dev_idx]
+
+        # --- transient local element batch: the ONLY element-matrix
+        # assembly, size (nel_loc, nud, nud) ---
+        elm = assemble_element_matrices(lfes, coeff, lame=lame)
+        A11 = np.asarray(elm["A11"])
+        assert A11.shape[0] == nel_loc == mesh.nel // part.ndev
+
+        udofs = mesh.u_el_dofs[el_ids]                  # (nel_loc, nud)
+        # BC-eliminated contributions (keep rows/cols, unit diag via mask)
+        bc = np.zeros(mesh.ndof)
+        bc[np.asarray(bc_idx)] = 1.0
+        ku = (1.0 - bc[: nu])[udofs]
+        A11k = A11 * ku[:, :, None] * ku[:, None, :]
+        np.add.at(diag_u, udofs.ravel(),
+                  np.einsum("eii->ei", A11k).ravel())
+
+        rows = np.broadcast_to(udofs[:, :, None], A11k.shape).ravel()
+        cols = np.broadcast_to(udofs[:, None, :], A11k.shape).ravel()
+        A_box = sp.coo_matrix((A11k.ravel(), (rows, cols)),
+                              shape=(nu, nu)).tocsr()
+        A1_acc = A1_acc + (P_f.T @ (A_box @ P_f)).tocsr()
+
+        Sel = np.asarray(assemble_schur_pre(lfes, coeff, lame=lame))
+        pnod = mesh.p_el_nodes[el_ids]
+        np.add.at(dmp, pnod.ravel(), np.einsum("eii->ei", Sel).ravel())
+        prows = np.broadcast_to(pnod[:, :, None], Sel.shape).ravel()
+        pcols = np.broadcast_to(pnod[:, None, :], Sel.shape).ravel()
+        Mp_acc = Mp_acc + sp.coo_matrix(
+            (Sel.ravel(), (prows, pcols)),
+            shape=(mesh.np_, mesh.np_)).tocsr()
+
+    bc = np.zeros(mesh.ndof)
+    bc[np.asarray(bc_idx)] = 1.0
+    diag_u = np.where(bc[:nu] == 1.0, 1.0, diag_u)
+    diag_u = np.where(diag_u == 0.0, 1.0, diag_u)
+    # the eliminated A00 carries a unit diagonal on BC rows
+    # (MatZeroRowsColumns diag=1.0, femixedspace.c:2645); the Galerkin
+    # chain must see it exactly like build_abf's assembled A00 does
+    A1_acc = (A1_acc + P_f.T @ sp.diags(bc[:nu]) @ P_f).tocsr()
+
+    # --- replicated hierarchy below L-2 ---
+    prolongs = [Prolongation(grids[k], grids[k + 1], nd)
+                for k in range(nlevels - 2)]        # up to the L-2 grid
+    coarse_csrs = galerkin_coarse_operators(A1_acc, prolongs)
+    level_mats = coarse_csrs + [A1_acc]             # levels 0 .. nlev-2
+
+    # esteig per smoothed level (coarsest+1 .. fine), PETSc transform
+    diags, bounds = [], []
+    for k in range(1, nlevels - 1):
+        A = level_mats[k]
+        d = A.diagonal()
+        d = np.where(d == 0.0, 1.0, d)
+        apply_fn = (lambda v, A=A: jnp.asarray(A @ np.asarray(v)))
+        emin, emax = _esteig_bounds(apply_fn, d, A.shape[0])
+        diags.append(d)
+        bounds.append((emin, emax))
+
+    # fine level esteig via the factored global apply (no global CSR)
+    fes_g = FESpace(mesh)
+    Bs_g, wc = _strain_matrix(fes_g.dNu_glob[0], nd, mesh.u_basis)
+    fac_g = fes_g.wq * float(fes_g.detJ_u[0, 0])
+    scale_g = (fac_g[None, :, None] * eta_g[:, :, None]
+               * wc[None, None, :])
+    keep_u = 1.0 - bc[:nu]
+
+    def fine_apply(v):
+        vk = jnp.asarray(keep_u) * v
+        xg = vk.reshape(tuple(reversed(mesh.nn_u)) + (nd,))
+        xe = _gather_q2(xg, mesh.m_el)
+        strain = (xe @ jnp.asarray(Bs_g).T).reshape(
+            mesh.nel, fes_g.nqp, len(wc))
+        yue = (strain * jnp.asarray(scale_g)).reshape(mesh.nel, -1) \
+            @ jnp.asarray(Bs_g)
+        yu = _scatter_q2(yue, mesh.m_el, mesh.nn_u, nd).reshape(-1)
+        return jnp.asarray(keep_u) * yu + jnp.asarray(bc[:nu]) * v
+
+    emin_f, emax_f = _esteig_bounds(fine_apply, diag_u, nu)
+    bounds.append((emin_f, emax_f))
+    diags.append(diag_u)
+
+    A0 = level_mats[0].toarray()
+    coarse_inv = np.linalg.inv(A0)
+    stencils = [stencil_from_csr(coarse_csrs[k], lvl_grids[k], nd)
+                for k in range(1, nlevels - 2)]
+
+    # Schur p-block spectrum (build_abf semantics)
+    Dm_s = sp.diags(1.0 / np.sqrt(np.abs(dmp)))
+    Msym = (Dm_s @ (-Mp_acc) @ Dm_s).tocsr()
+    import scipy.sparse.linalg as spla
+    if mesh.np_ <= 600:
+        ew = np.linalg.eigvalsh(Msym.toarray())
+        p_emin, p_emax = float(ew[0]), float(ew[-1])
+    else:
+        p_emax = float(spla.eigsh(Msym, k=1, which="LA",
+                                  return_eigenvectors=False)[0])
+        p_emin = float(spla.eigsh(Msym, k=1, which="SA",
+                                  return_eigenvectors=False)[0])
+
+    # --- shard the node-grid quantities ---
+    def shard_u_parity(vec_u):
+        """(nu,) natural -> per-class stacked local parity subgrids."""
+        g = np.asarray(vec_u).reshape(tuple(reversed(mesh.nn_u)) + (nd,))
+        outs = [np.empty(stack + s + (nd,), g.dtype)
+                for s in _local_cls_shapes(mloc, nd)]
+        for box in part.dev_boxes():
+            dev_idx = tuple(reversed(box))
+            loc = g[part._grid_slices(box, 2, (slice(None),))]
+            for p, sub in enumerate(split_grid_parity(loc, nd)):
+                outs[p][dev_idx] = sub
+        return outs
+
+    def shard_p(vec_p):
+        g = np.asarray(vec_p).reshape(tuple(reversed(mesh.nn_p)))
+        out = np.empty(stack + tuple(reversed(part.nn_p_loc)), g.dtype)
+        for box in part.dev_boxes():
+            out[tuple(reversed(box))] = g[part._grid_slices(box, 1, ())]
+        return out
+
+    def shard_l1(vec):
+        """L-2 grid vector (n1,) -> stacked local (mloc+1 ...) slabs."""
+        g = np.asarray(vec).reshape(lvl_grids[-2] + (nd,))
+        loc_shape = tuple(mloc[nd - 1 - k] + 1 for k in range(nd))
+        out = np.empty(stack + loc_shape + (nd,), g.dtype)
+        for box in part.dev_boxes():
+            sl = tuple(slice(box[d] * mloc[d],
+                             box[d] * mloc[d] + mloc[d] + 1)
+                       for d in reversed(range(nd)))
+            out[tuple(reversed(box))] = g[sl + (slice(None),)]
+        return out
+
+    lfes0 = FESpace(SaddleMesh(nd, mloc,
+                               tuple(cell[d] * mloc[d] for d in range(nd))))
+    cast = lambda a: jnp.asarray(np.asarray(a), dtype)
+    ddata = {
+        "scale_visc": cast(sv_stack),
+        "pscale": cast(ps_stack),
+        "ks": [cast(a) for a in shard_u_parity(keep_u)],
+        "ms": [cast(a) for a in shard_u_parity(bc[:nu])],
+        "kp": cast(shard_p(1.0 - bc[nu:])),
+        "mp": cast(shard_p(bc[nu:])),
+        "inv_diag_fine": [cast(a) for a in shard_u_parity(1.0 / diag_u)],
+        "inv_diag_l1": cast(shard_l1(1.0 / diags[-2])) if nlevels >= 3
+        else None,
+        "inv_diag_p": cast(shard_p(1.0 / dmp)),
+        # replicated
+        "Bs": cast(Bs_g), "Dm": None, "Np": cast(lfes0.Np),
+        "fac": cast(fac_g),
+        "coarse_inv": cast(coarse_inv),
+        "stencils": [cast(W) for W in stencils],
+        "inv_diag_repl": [cast((1.0 / diags[k - 1]).reshape(
+            lvl_grids[k] + (nd,))) for k in range(1, nlevels - 2)],
+        "bounds": [(cast(b[0]), cast(b[1])) for b in bounds],
+        "p_bounds": (cast(p_emin), cast(p_emax)),
+    }
+    # divergence sampling matrix (matfree.MatFreeSaddleOperator.build)
+    G0g = fes_g.dNu_glob[0]
+    Dm_mat = np.zeros((fes_g.nqp, nd * mesh.u_basis))
+    for a in range(nd):
+        Dm_mat[:, a::nd] = G0g[:, a, :]
+    ddata["Dm"] = cast(Dm_mat)
+
+    cfgb = ABFConfig(ndim=nd, nlevels=nlevels,
+                     cls_shapes=_local_cls_shapes(
+                         tuple(mesh.m_el), nd),
+                     m_el=tuple(mesh.m_el), level_grids=tuple(lvl_grids),
+                     **(cfg_kw or {}))
+    dcfg = CartABFConfig(base=cfgb, dev_shape=part.dev_shape, mloc=mloc,
+                         cls_shapes_loc=_local_cls_shapes(mloc, nd),
+                         nn_p_loc=part.nn_p_loc,
+                         lvl1_loc_shape=tuple(
+                             mloc[nd - 1 - k] + 1 for k in range(nd)))
+
+    # rhs_diri = -A x_bc with BC rows zeroed, via the factored global apply
+    x_bc = np.zeros(mesh.ndof)
+    x_bc[np.asarray(bc_idx)] = np.asarray(bc_vals)
+    xg = jnp.asarray(x_bc[:nu].reshape(tuple(reversed(mesh.nn_u)) + (nd,)))
+    pgr = jnp.asarray(x_bc[nu:].reshape(tuple(reversed(mesh.nn_p))))
+    xe = _gather_q2(xg, mesh.m_el)
+    pe = _gather_q1(pgr, mesh.m_el)
+    strain = (xe @ jnp.asarray(Bs_g).T).reshape(mesh.nel, fes_g.nqp,
+                                                len(wc))
+    yue = (strain * jnp.asarray(scale_g)).reshape(mesh.nel, -1) \
+        @ jnp.asarray(Bs_g)
+    ptmp = pe @ jnp.asarray(lfes0.Np).T
+    yue = yue - (ptmp * jnp.asarray(fac_g)[None, :]) @ jnp.asarray(Dm_mat)
+    div = xe @ jnp.asarray(Dm_mat).T
+    ype = -(div * jnp.asarray(fac_g)[None, :]) @ jnp.asarray(lfes0.Np)
+    yu = _scatter_q2(yue, mesh.m_el, mesh.nn_u, nd).reshape(-1)
+    yp = _scatter_q1(ype, mesh.m_el, mesh.nn_p).reshape(-1)
+    rhs_diri = -np.concatenate([np.asarray(yu), np.asarray(yp)]) * (1 - bc)
+
+    setup = {"mesh": mesh, "rhs_diri": rhs_diri, "bc_mask": bc,
+             "A1": A1_acc, "Mp": Mp_acc, "diag_u": diag_u,
+             "coarse_csrs": coarse_csrs}
+    return dcfg, ddata, setup
+
+
+# --------------------------------------------------------------------------
+# the shard-local solver
+# --------------------------------------------------------------------------
+
+def make_cart_abf_solver(dcfg):
+    """Return local_solver(dd, F, x0) to be run under shard_map over the
+    cartesian device mesh. F/x0: local parity trees (subs list, p grid)."""
+    cfg = dcfg.base
+    nd = cfg.ndim
+    nlev = cfg.nlevels
+    mloc = dcfg.mloc
+    cls_loc = dcfg.cls_shapes_loc
+    nn_p_loc = dcfg.nn_p_loc
+    lvl1_glob = cfg.level_grids[-2]
+    axes = tuple(reversed(AXES[:nd]))          # psum over all mesh axes
+
+    def local_solver(dd, F, x0):
+        dtype = dd["Bs"].dtype
+        op = ParityMatFreeOperator(
+            Bs=dd["Bs"], Dm=dd["Dm"], Np=dd["Np"],
+            scale_visc=dd["scale_visc"], fac=dd["fac"],
+            facp_lam=jnp.zeros((1, 1), dtype),
+            keep=jnp.zeros((0,), dtype), bc_mask=jnp.zeros((0,), dtype),
+            m_el=mloc, nn_u=tuple(2 * m + 1 for m in mloc),
+            nn_p=nn_p_loc, nu=0, np_=0,
+            ncomp=dd["scale_visc"].shape[-1],
+            nqp=dd["scale_visc"].shape[-2], cls_shapes=cls_loc)
+        aux = (dd["ks"], dd["ms"], dd["kp"], dd["mp"])
+
+        def halo_sub(g, p):
+            """Per-axis halo-add for parity class p (even axes only)."""
+            for d in range(nd):
+                if ((p >> d) & 1) == 0 and dcfg.dev_shape[d] > 1:
+                    g = halo_add_axis(g, AXES[d], nd - 1 - d)
+            return g
+
+        def halo_u(subs):
+            return [halo_sub(s, p) for p, s in enumerate(subs)]
+
+        def halo_p(g):
+            for d in range(nd):
+                if dcfg.dev_shape[d] > 1:
+                    g = halo_add_axis(g, AXES[d], nd - 1 - d)
+            return g
+
+        def own_w_cls(p, shape):
+            """Ownership weight for class p: plane 0 of each even axis
+            counts only on the first device of that axis."""
+            w = jnp.ones(shape, dtype)
+            for d in range(nd):
+                if ((p >> d) & 1) == 0 and dcfg.dev_shape[d] > 1:
+                    k = nd - 1 - d
+                    idx = lax.axis_index(AXES[d])
+                    first = jnp.where(idx > 0, 0.0, 1.0).astype(dtype)
+                    wk = jnp.ones((shape[k],), dtype).at[0].set(first)
+                    w = w * wk.reshape((-1,) + (1,) * (nd - 1 - k))
+            return w[..., None]
+
+        w_subs = [own_w_cls(p, cls_loc[p]) for p in range(2 ** nd)]
+        w_p = own_w_cls(0, tuple(reversed(nn_p_loc)))[..., 0]
+        w_l1 = own_w_cls(0, dcfg.lvl1_loc_shape)
+        dots_u = treeops.make_dots(weight=w_subs, psum_axis=axes)
+        dots_sad = treeops.make_dots(weight=(w_subs, w_p), psum_axis=axes)
+
+        def fineA(subs):
+            return mult_u_tree(op, aux, subs, halo_u=halo_u)
+
+        def lvl1A(xg):
+            t = prolong_parity(xg, cls_loc, mloc)
+            t = fineA(t)
+            r = restrict_parity([w * s for w, s in zip(w_subs, t)],
+                                cls_loc, mloc)
+            return halo_p_grid(r)
+
+        def halo_p_grid(g):
+            """Halo-add on a class-0-shaped grid (trailing dof dim ok)."""
+            for d in range(nd):
+                if dcfg.dev_shape[d] > 1:
+                    g = halo_add_axis(g, AXES[d], nd - 1 - d)
+            return g
+
+        # local L-2 <-> replicated global L-2
+        def _offs():
+            o = []
+            for k in range(nd):
+                d = nd - 1 - k
+                o.append((lax.axis_index(AXES[d]) * mloc[d]).astype(
+                    jnp.int32))
+            return tuple(o) + (jnp.int32(0),)
+
+        def l1_to_replicated(slab):
+            full = jnp.zeros(tuple(lvl1_glob) + (nd,), dtype)
+            full = lax.dynamic_update_slice(full, w_l1 * slab, _offs())
+            return lax.psum(full, axes)
+
+        def l1_from_replicated(full):
+            return lax.dynamic_slice(full, _offs(),
+                                     dcfg.lvl1_loc_shape + (nd,))
+
+        def coarse_solve(xg):
+            flat = xg.reshape(-1)
+            return (dd["coarse_inv"] @ flat).reshape(xg.shape)
+
+        def repl_vcycle(k, b):
+            if k == 0:
+                return coarse_solve(b)
+            W = dd["stencils"][k - 1]
+            A = lambda xg: stencil_apply(W, xg)
+            emin, emax = dd["bounds"][k - 1]
+            invd = dd["inv_diag_repl"][k - 1]
+            pc = lambda t: invd * t
+            x = treeops.cheb_smooth(A, pc, emin, emax, cfg.cheb_its, b,
+                                    jnp.zeros_like(b))
+            r = b - A(x)
+            xc = repl_vcycle(k - 1, restrict_grid(r, cfg.level_grids[k - 1]))
+            x = x + prolong_grid(xc, cfg.level_grids[k])
+            return treeops.cheb_smooth(A, pc, emin, emax, cfg.cheb_its,
+                                       b, x)
+
+        emin1, emax1 = dd["bounds"][nlev - 2 - 1]
+        invd1 = dd["inv_diag_l1"]
+        pc1 = lambda t: invd1 * t
+
+        def smooth_l1(b, x0v):
+            return treeops.cheb_smooth(lvl1A, pc1, emin1, emax1,
+                                       cfg.cheb_its, b, x0v)
+
+        def vcycle_l1(b):
+            x = smooth_l1(b, jnp.zeros_like(b))
+            r = b - lvl1A(x)
+            r_rep = restrict_grid(l1_to_replicated(r),
+                                  cfg.level_grids[nlev - 3]
+                                  if nlev > 3 else cfg.level_grids[0])
+            if nlev == 3:
+                xc_rep = coarse_solve(r_rep)
+            else:
+                xc_rep = repl_vcycle(nlev - 3, r_rep)
+            xc = l1_from_replicated(
+                prolong_grid(xc_rep, cfg.level_grids[nlev - 2]))
+            x = x + xc
+            return smooth_l1(b, x)
+
+        eminf, emaxf = dd["bounds"][-1]
+        invdf = dd["inv_diag_fine"]
+        pcf = lambda t: [a * b for a, b in zip(invdf, t)]
+
+        def smooth_fine(b, x0v):
+            return treeops.cheb_smooth(fineA, pcf, eminf, emaxf,
+                                       cfg.cheb_its, b, x0v)
+
+        def mg_pc(r):
+            x = smooth_fine(r, treeops.tzeros_like(r))
+            rr = treeops.tsub(r, fineA(x))
+            r1 = halo_p_grid(restrict_parity(
+                [w * s for w, s in zip(w_subs, rr)], cls_loc, mloc))
+            x1 = vcycle_l1(r1)
+            x = treeops.taxpy(1.0, prolong_parity(x1, cls_loc, mloc), x)
+            return smooth_fine(r, x)
+
+        gcr = treeops.make_gcr(fineA, mg_pc, restart=cfg.gcr_restart,
+                               rtol=cfg.gcr_rtol, max_it=cfg.gcr_max_it,
+                               dots=dots_u)
+
+        p_emin, p_emax = dd["p_bounds"]
+        inv_dp = dd["inv_diag_p"]
+
+        def p_mult(pg):
+            return mp_apply(op, dd["pscale"], pg, halo_p=halo_p)
+
+        def p_solve(bp):
+            return treeops.cheb_smooth(p_mult, lambda g: inv_dp * g,
+                                       p_emin, p_emax, cfg.p_cheb_its, bp,
+                                       jnp.zeros_like(bp))
+
+        def pc_apply(t):
+            bu, bp = t
+            yp = p_solve(bp)
+            gu = mult_up_tree(op, aux, yp, halo_u=halo_u)
+            ru = [b - g for b, g in zip(bu, gu)]
+            yu, _, _ = gcr(ru)
+            return (yu, yp)
+
+        def saddle_mult(t):
+            return mult_tree(op, aux, t, halo_u=halo_u, halo_p=halo_p)
+
+        fgmres = treeops.make_fgmres(saddle_mult, pc_apply,
+                                     restart=cfg.restart, rtol=cfg.rtol,
+                                     atol=cfg.atol, dtol=cfg.dtol,
+                                     max_it=cfg.max_it,
+                                     hist_len=cfg.hist_len, dots=dots_sad)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return fgmres(F, x0)
+
+    return local_solver
+
+
+def _strip(t, nd):
+    return jax.tree.map(lambda a: a.reshape(a.shape[nd:]), t)
+
+
+def _unstrip(t, nd):
+    return jax.tree.map(lambda a: a.reshape((1,) * nd + a.shape), t)
+
+
+class CartABFSolver:
+    """Host-facing distributed ABF over a cartesian device mesh."""
+
+    _SHARDED = {"scale_visc", "pscale", "ks", "ms", "kp", "mp",
+                "inv_diag_fine", "inv_diag_l1", "inv_diag_p"}
+
+    def __init__(self, part, ctx, bc_idx, bc_vals, devices, lame=False,
+                 dtype=jnp.float64, nlevels=3, check_vma=True, **cfg_kw):
+        self.part = part
+        self.mesh = part.mesh
+        self.dtype = dtype
+        nd = self.mesh.ndim
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            self.dcfg, ddata, self.setup = build_cart_abf(
+                part, ctx, bc_idx, bc_vals, lame=lame, dtype=dtype,
+                nlevels=nlevels, cfg_kw=cfg_kw)
+        self.dmesh = part.device_mesh(devices)
+        spec = part.specs()
+        shard = NamedSharding(self.dmesh, spec)
+        repl = NamedSharding(self.dmesh, P())
+        self.ddata = {k: jax.tree.map(
+            lambda a: jax.device_put(a, shard if k in self._SHARDED
+                                     else repl), v)
+            for k, v in ddata.items()}
+
+        local = make_cart_abf_solver(self.dcfg)
+        vspec = ([spec] * (2 ** nd), spec)
+        dspec = {k: (jax.tree.map(lambda _: spec, ddata[k])
+                     if k in self._SHARDED
+                     else jax.tree.map(lambda _: P(), ddata[k]))
+                 for k in ddata}
+
+        from jax import shard_map
+
+        def wrapped(dd, F, x0):
+            dd_l = {k: (_strip(v, nd) if k in self._SHARDED else v)
+                    for k, v in dd.items()}
+            x, its, rnorm, state, hist = local(dd_l, _strip(F, nd),
+                                               _strip(x0, nd))
+            return (_unstrip(x, nd), its, rnorm, state, hist)
+
+        self._solve = jax.jit(shard_map(
+            wrapped, mesh=self.dmesh,
+            in_specs=(dspec, vspec, vspec),
+            out_specs=(vspec, P(), P(), P(), P()),
+            check_vma=check_vma))
+
+    # --- vector conversions ------------------------------------------------
+    def shard_saddle(self, x_flat):
+        """Natural (ndof,) -> stacked local parity tree."""
+        mesh = self.mesh
+        nd = mesh.ndim
+        part = self.part
+        stack = part._stack_shape()
+        x = np.asarray(x_flat)
+        g = x[: mesh.nu].reshape(tuple(reversed(mesh.nn_u)) + (nd,))
+        subs = [np.empty(stack + s + (nd,), x.dtype)
+                for s in self.dcfg.cls_shapes_loc]
+        pg = np.empty(stack + tuple(reversed(part.nn_p_loc)), x.dtype)
+        gp = x[mesh.nu:].reshape(tuple(reversed(mesh.nn_p)))
+        for box in part.dev_boxes():
+            dev_idx = tuple(reversed(box))
+            loc = g[part._grid_slices(box, 2, (slice(None),))]
+            for p, sub in enumerate(split_grid_parity(loc, nd)):
+                subs[p][dev_idx] = sub
+            pg[dev_idx] = gp[part._grid_slices(box, 1, ())]
+        shard = NamedSharding(self.dmesh, part.specs())
+        cast = lambda a: jax.device_put(jnp.asarray(a, self.dtype), shard)
+        return ([cast(s) for s in subs], cast(pg))
+
+    def unshard_saddle(self, t):
+        mesh = self.mesh
+        nd = mesh.ndim
+        part = self.part
+        subs, pg = jax.tree.map(np.asarray, t)
+        g = np.zeros(tuple(reversed(mesh.nn_u)) + (nd,), subs[0].dtype)
+        gp = np.zeros(tuple(reversed(mesh.nn_p)), pg.dtype)
+        for box in part.dev_boxes():
+            dev_idx = tuple(reversed(box))
+            loc = np.zeros(tuple(reversed(part.nn_u_loc)) + (nd,),
+                           subs[0].dtype)
+            for p in range(2 ** nd):
+                idx = tuple(slice((p >> (nd - 1 - k)) & 1, None, 2)
+                            for k in range(nd))
+                loc[idx] = subs[p][dev_idx]
+            g[part._grid_slices(box, 2, (slice(None),))] = loc
+            gp[part._grid_slices(box, 1, ())] = pg[dev_idx]
+        return np.concatenate([g.reshape(-1), gp.reshape(-1)])
+
+    def solve(self, F_flat, x0_flat=None):
+        Ft = self.shard_saddle(F_flat)
+        x0 = (self.shard_saddle(x0_flat) if x0_flat is not None
+              else jax.tree.map(jnp.zeros_like, Ft))
+        x, its, rnorm, state, hist = self._solve(self.ddata, Ft, x0)
+        jax.block_until_ready(x)
+        its = int(its)
+        hist = np.asarray(hist)
+        return {"x": self.unshard_saddle(x), "its": its,
+                "rnorm": float(rnorm), "state": int(state),
+                "history": [float(h) for h in hist[: its + 1] if h >= 0.0]}

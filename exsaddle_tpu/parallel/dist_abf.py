@@ -394,13 +394,13 @@ class DistABFSolver:
                 dd_l, _squeeze(F), _squeeze(x0))
             return (_unsqueeze(x), its, rnorm, state, hist)
 
-        # check_vma=False: replicated constants (coarse grids, Hessenberg
-        # scalars) legitimately mix with varying slabs inside the loop
-        # carries; correctness is asserted against the 1-device run instead
+        # check_vma=True: treeops zero-initializers derive their variance
+        # from the reference vector, so loop carries typecheck under
+        # shard_map's replication checking (VERDICT r2 item 10)
         self._solve = jax.jit(shard_map(
             wrapped, mesh=self.dmesh,
             in_specs=(dspec, vspec, vspec),
-            out_specs=(vspec, P(), P(), P(), P()), check_vma=False))
+            out_specs=(vspec, P(), P(), P(), P()), check_vma=True))
 
     # --- vector conversions ------------------------------------------------
     def _vec_struct(self):

@@ -59,14 +59,22 @@ def tsub(a, b):
     return jax.tree.map(jnp.subtract, a, b)
 
 def tzeros_like(t):
-    return jax.tree.map(jnp.zeros_like, t)
+    """Zero tree DERIVED from t (a * 0, not jnp.zeros_like): under
+    shard_map with check_vma=True a fresh constant is device-invariant,
+    and a while_loop carry initialized invariant but updated with varying
+    data fails variance checking. Deriving the zeros keeps the variance
+    of t."""
+    return jax.tree.map(lambda a: a * 0, t)
 
 
 # --- stacked-leaf Krylov buffers -------------------------------------------
 
 def buf_alloc(t, k):
-    """Allocate a k-slot buffer holding vectors shaped like t."""
-    return jax.tree.map(lambda a: jnp.zeros((k,) + a.shape, a.dtype), t)
+    """Allocate a k-slot buffer holding vectors shaped like t. The zero
+    buffer is derived from t (broadcast of t*0) so its shard_map variance
+    matches the vectors later buf_set into it (check_vma)."""
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to((a * 0)[None], (k,) + a.shape), t)
 
 
 def buf_set(buf, i, t):
@@ -139,7 +147,10 @@ def cheb_smooth(mult, pc_apply, emin, emax, its, b, x0):
     omegaprod = 2.0 / alpha_
 
     r = tsub(b, mult(x0))
-    p_km1 = x0
+    # p_km1 carries x0's values but r's shard_map variance (callers often
+    # pass an invariant jnp.zeros_like(b) as x0; the loop carry must match
+    # the varying iterates under check_vma)
+    p_km1 = jax.tree.map(lambda x, rr: x + 0.0 * rr, x0, r)
     p_k = taxpy(scale, pc_apply(r), x0)
 
     def body(_, carry):
