@@ -228,6 +228,83 @@ class MultilevelILDLFactor:
         return self._solve_level(0, b)
 
 
+def _sym_adjacency(A_csr):
+    """Full symmetric pattern CSR (int64) of A + A^T, no self loops."""
+    import scipy.sparse as sp
+    A = A_csr.tocsr()
+    S = (A + A.T).tocsr().sorted_indices()
+    S.setdiag(0)
+    S.eliminate_zeros()
+    Ap = np.ascontiguousarray(S.indptr, dtype=np.int64)
+    Aj = np.ascontiguousarray(S.indices, dtype=np.int64)
+    return S.shape[0], Ap, Aj, S
+
+
+def amd_order(A_csr):
+    """Approximate Minimum Degree ordering (native/order.cpp: quotient
+    graph, element absorption, approximate external degrees, supervariable
+    coalescing -- the AMD the reference links via SuiteSparse,
+    Makefile:32)."""
+    lib = _load("order")
+    lib.amd_order.restype = ctypes.c_int
+    n, Ap, Aj, _ = _sym_adjacency(A_csr)
+    perm = np.empty(n, dtype=np.int64)
+    rc = lib.amd_order(ctypes.c_long(n),
+                       Ap.ctypes.data_as(_c_long_p),
+                       Aj.ctypes.data_as(_c_long_p),
+                       perm.ctypes.data_as(_c_long_p))
+    if rc != 0:
+        raise RuntimeError("amd_order failed")
+    return perm
+
+
+def nd_order(A_csr, leaf=64):
+    """Nested-dissection ordering (native/order.cpp: recursive level-set
+    bisection, pseudo-peripheral roots, separators last, minimum-degree
+    leaves) -- the METIS_NodeND class the reference's 'metisn' default
+    uses (pcildl.c:480-482)."""
+    lib = _load("order")
+    lib.nd_order.restype = ctypes.c_int
+    n, Ap, Aj, _ = _sym_adjacency(A_csr)
+    perm = np.empty(n, dtype=np.int64)
+    rc = lib.nd_order(ctypes.c_long(n),
+                      Ap.ctypes.data_as(_c_long_p),
+                      Aj.ctypes.data_as(_c_long_p),
+                      perm.ctypes.data_as(_c_long_p),
+                      ctypes.c_long(leaf))
+    if rc != 0:
+        raise RuntimeError("nd_order failed")
+    return perm
+
+
+def mc64_scaling(A_csr):
+    """Maximum-product matching scalings (MC64 job=5 semantics,
+    native/order.cpp): row/column scalings that make every matched entry
+    of |D_r A D_c| equal 1 and all others <= 1. Returns (sr, sc, match).
+    The symmetrized scaling sqrt(sr*sc) is what ILUPACK applies before
+    its symmetric factorizations (pcildl.c:147-193)."""
+    lib = _load("order")
+    lib.mc64_scale.restype = ctypes.c_int
+    A = A_csr.tocsr().sorted_indices()
+    n = A.shape[0]
+    Ap = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    Aj = np.ascontiguousarray(A.indices, dtype=np.int64)
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    sr = np.empty(n)
+    sc = np.empty(n)
+    match = np.empty(n, dtype=np.int64)
+    rc = lib.mc64_scale(ctypes.c_long(n),
+                        Ap.ctypes.data_as(_c_long_p),
+                        Aj.ctypes.data_as(_c_long_p),
+                        Ax.ctypes.data_as(_c_dbl_p),
+                        sr.ctypes.data_as(_c_dbl_p),
+                        sc.ctypes.data_as(_c_dbl_p),
+                        match.ctypes.data_as(_c_long_p))
+    if rc != 0:
+        raise RuntimeError("mc64: structurally singular matrix")
+    return sr, sc, match
+
+
 class ILU0Factor:
     """ILU(0) on the original CSR pattern, natural ordering (PETSc PCILU
     defaults). Factorization and triangular solves run in native C++

@@ -161,43 +161,48 @@ class PCASM:
 
 
 def _ildl_prepare(A_csr, ordering, matching):
-    """Shared ILDL/ILUPACK preprocessing: fill-friendly symmetric ordering
-    plus the scaling role of ILUPACK's MC64 matching (pcildl.c:147-193) --
-    an iterated symmetric equilibration driving every row/column inf-norm
-    to 1 (Sinkhorn-style), which is what makes a single drop tolerance act
-    uniformly across the velocity and pressure blocks. Returns
-    (perm, iperm, scale, upper_csr)."""
+    """Shared ILDL/ILUPACK preprocessing mirroring ILUPACK's pipeline
+    (pcildl.c:147-193): MC64 maximum-product matching SCALING (symmetrized
+    sqrt(sr*sc), native/order.cpp) when matching is on, then a
+    fill-reducing symmetric ordering of the scaled matrix:
+
+      metisn / metise -> native nested dissection (METIS_NodeND class)
+      amd             -> native Approximate Minimum Degree
+      rcm             -> reverse Cuthill-McKee
+      natural         -> identity
+
+    Returns (perm, iperm, scale, upper_csr) with upper_csr the permuted
+    scaled upper triangle."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
+    from exsaddle_tpu.native import amd_order, nd_order, mc64_scaling
 
     A = A_csr.tocsr()
     n = A.shape[0]
-    if ordering in ("rcm", "metisn", "metise", "amd"):
-        # reverse Cuthill-McKee: measured better than minimum-degree or
-        # nested-dissection orderings for these incomplete factors
-        perm = np.asarray(reverse_cuthill_mckee(A, True))
+    if matching:
+        sr, sc, _ = mc64_scaling(A)
+        scale0 = np.sqrt(sr * sc)
+    else:
+        scale0 = np.ones(n)
+    # scale in place so explicit zeros keep the stored pattern (the nz
+    # count reported must match the reference's preallocated pattern)
+    As = A.copy().sorted_indices()
+    rows = np.repeat(np.arange(n), np.diff(As.indptr))
+    As.data = As.data * scale0[rows] * scale0[As.indices]
+
+    if ordering in ("metisn", "metise"):
+        perm = np.asarray(nd_order(As))
+    elif ordering == "amd":
+        perm = np.asarray(amd_order(As))
+    elif ordering == "rcm":
+        perm = np.asarray(reverse_cuthill_mckee(As, True))
     else:                       # natural
         perm = np.arange(n)
     iperm = np.empty(n, dtype=np.int64)
     iperm[perm] = np.arange(n)
-    P = A[perm][:, perm].tocsr().sorted_indices()
-    data = np.abs(P.data.copy())
-    rows = np.repeat(np.arange(n), np.diff(P.indptr))
-    cols = P.indices
-    scale = np.ones(n)
-    niter = 15 if matching else 1
-    vals = P.data.copy()
-    for _ in range(niter):
-        rmax = np.zeros(n)
-        np.maximum.at(rmax, rows, data)
-        np.maximum.at(rmax, cols, data)
-        s = 1.0 / np.sqrt(np.maximum(rmax, 1e-300))
-        scale *= s
-        data = data * s[rows] * s[cols]
-    vals = vals * scale[rows] * scale[cols]
-    Ps = sp.csr_matrix((vals, P.indices, P.indptr), shape=P.shape)
+    Ps = As[perm][:, perm].tocsr().sorted_indices()
     Pu = sp.triu(Ps).tocsr()
-    return perm, iperm, scale, Pu
+    return perm, iperm, scale0[perm], Pu
 
 
 class PCILDL:
@@ -210,13 +215,17 @@ class PCILDL:
     delayed/blocked pivoting -- deferral of unstable pivots to a small
     Schur complement that is factored exactly.
 
-    Orderings: natural or rcm; the reference's metisn/metise/amd map to
-    rcm (measured better here; METIS/AMD are not in this image). matching
-    toggles the iterated equilibration standing in for MC64's scalings.
-    Prints the relative fill line in the reference's format
-    (pcildl.c:267)."""
+    Orderings (all native, distinct implementations -- order.cpp):
+    amd (Approximate Minimum Degree, the default here: reproduces the
+    reference's 7-iteration exSaddle3d_ildl_1 behavior), metisn/metise
+    (nested dissection via recursive level-set bisection; our separators
+    are not METIS-quality, hence not the default), rcm, natural.
+    matching applies MC64 maximum-product symmetrized scalings
+    (native/order.cpp shortest-augmenting-path matching, the job=5
+    semantics of pcildl.c:147-193). Prints the relative fill line in the
+    reference's format (pcildl.c:267)."""
 
-    def __init__(self, A_csr, droptol=1e-2, ordering="metisn",
+    def __init__(self, A_csr, droptol=1e-2, ordering="amd",
                  matching=True, log=print):
         from exsaddle_tpu.native import MultilevelILDLFactor
 

@@ -167,7 +167,7 @@ def make_pc(opts, prefix, amat, pmat, default_type="ilu", nullspace=None,
         return precond.PCILDL(
             pmat.csr(),
             droptol=opts.get_real("pc_ildl_droptol", 1e-2, prefix=prefix),
-            ordering=opts.get_string("pc_ildl_ordering", "metisn",
+            ordering=opts.get_string("pc_ildl_ordering", "amd",
                                      prefix=prefix),
             matching=opts.get_bool("pc_ildl_matching", True, prefix=prefix),
             log=log)

@@ -2,15 +2,14 @@
 Makefile:494-506).
 
 The reference preconditioner is ILUPACK's Fortran DSYMiluc / AMGfactor with
-MC64 matching + METIS ordering; this framework's native C++ incomplete
-LDL^T (exsaddle_tpu/native/ildl.cpp) uses iterated equilibration + RCM with
-inverse-based dropping and condest-driven pivot deferral, so the
-factorizations -- and hence residual histories -- legitimately differ.
-What must hold: the model banner, a fill report in the reference's format,
-convergence within 1.3x of the reference's iteration count (measured: 8 vs
-the reference's 7 on exSaddle3d_ildl_1), and converged solution diagnostics
-matching the reference (the solution is preconditioner-independent at
-convergence)."""
+MC64 matching + METIS ordering; this framework's native C++ equivalents
+(exsaddle_tpu/native/ildl.cpp + order.cpp) use MC64 maximum-product
+matching scalings, AMD/nested-dissection orderings, inverse-based dropping
+and condest-driven pivot deferral. The factorizations still differ in
+detail, so residual histories differ -- but iteration counts must be AT
+OR BELOW the reference's (1.0x bounds: 7 on exSaddle3d_ildl_1, 2 on
+exSaddle3d_ilupack_1), and converged solution diagnostics must match (the
+solution is preconditioner-independent at convergence)."""
 
 import re
 import numpy as np
@@ -52,10 +51,10 @@ def test_exSaddle3d_ildl_1():
     # matrix nnz must agree with the reference's (+-1 stored entry)
     nz = int(re.search(r"wrt (\d+) nz", fill[0]).group(1))
     assert abs(nz - 1458123) <= 1
-    # convergence within 1.3x of the reference's 7 iterations (measured: 8)
+    # at or below the reference's 7 iterations (AMD + MC64: measured 7)
     its_ref = _iters(ref)
     its_out = _iters(out)
-    assert its_out <= 1.3 * its_ref, (its_out, its_ref)
+    assert its_out <= its_ref, (its_out, its_ref)
     final = [_monitor_value(ln) for ln in out
              if _monitor_value(ln) is not None][-1]
     assert final < 5e-7
@@ -94,7 +93,7 @@ def test_exSaddle3d_ilupack_1():
     assert any(ln.startswith("final elbow space factor=") for ln in out)
     its_ref = _iters(ref)         # 2
     its_out = _iters(out)
-    assert its_out <= 2 * its_ref, (its_out, its_ref)
+    assert its_out <= its_ref, (its_out, its_ref)
     final = [_monitor_value(ln) for ln in out
              if _monitor_value(ln) is not None][-1]
     r0 = [_monitor_value(ln) for ln in out
