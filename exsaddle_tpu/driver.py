@@ -94,10 +94,16 @@ def _qp_dict(ctx, cq):
     return out
 
 
-def _make_saddle_matshell(lv, lame, dm_info=None):
+def _make_saddle_matshell(lv, lame, dm_info=None, names=("Asaddle",
+                                                        "Mpscaled")):
     """MatShell for a level's saddle operator, with fieldsplit block info,
     velocity-grid MG info, and DM decomposition info (for -pc_type asm
-    virtual-rank subdomains) attached."""
+    virtual-rank subdomains) attached.
+
+    names: (saddle matrix name, Schur-pre name) for -ksp_view. The
+    reference names ONLY the fine-level objects "Asaddle"/"Mpscaled"
+    (exSaddle.c:272,316) and the fs_coarse Schur-pre "Mpscaled_coarse"
+    (exSaddle.c:369); rediscretized coarse saddle matrices are unnamed."""
     op = lv.op
     mesh = lv.mesh
     mult = jax.jit(op.mult)
@@ -128,11 +134,11 @@ def _make_saddle_matshell(lv, lame, dm_info=None):
     # preallocation estimate, I-node counts (dof-triple velocity rows
     # coalesce; pressure rows do not), coupling-block sizes
     from exsaddle_tpu.matfree import allocated_nnz, coupling_nnz
-    amat.view_info = {"name": "Asaddle",
+    amat.view_info = {"name": names[0],
                       "allocated": allocated_nnz(mesh),
                       "inode": mesh.n_u_nodes + mesh.np_}
     A00.view_info = {"inode": mesh.n_u_nodes}
-    Sp.view_info = {"name": "Mpscaled"}
+    Sp.view_info = {"name": names[1]}
     fieldsplit["view"] = {"A10_nnz": coupling_nnz(mesh),
                           "A01_inode": mesh.n_u_nodes,
                           "A00_n": mesh.nu}
@@ -369,8 +375,12 @@ def _build_saddle_mg(opts, prefix, levels, lame, fs_coarse, log=print,
     """Programmatic monolithic saddle PCMG with per-level re-assembled
     operators (PC_MG_GALERKIN_NONE) and composite interpolation
     (exSaddle.c:333-402)."""
-    mats = [_make_saddle_matshell(lv, lame, dm_info=dm_info)
-            for lv in levels]
+    nlv = len(levels)
+    mats = [_make_saddle_matshell(
+        lv, lame, dm_info=dm_info,
+        names=(("Asaddle", "Mpscaled") if k == nlv - 1
+               else (None, "Mpscaled_coarse" if k == 0 else None)))
+            for k, lv in enumerate(levels)]
     prolongs = []
     for k in range(len(levels) - 1):
         Pu = Prolongation(levels[k].mesh.nn_u, levels[k + 1].mesh.nn_u,

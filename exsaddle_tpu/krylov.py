@@ -55,6 +55,7 @@ class KSPConfig:
     restart: int = 30
     pc_side: str = None          # "left"/"right"; None = type default
     norm_type: str = None        # "preconditioned"/"unpreconditioned"/"none"
+    view_norm_type: str = None   # -ksp_view override (solver_config GOTCHA)
     convergence_test: str = "default"   # or "skip"
     initial_guess_nonzero: bool = False
     monitor: Optional[Callable] = None  # monitor(its, rnorm)

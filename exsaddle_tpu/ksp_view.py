@@ -115,7 +115,9 @@ def _ksp_header(ksp, log, indent, nranks):
     log(f"{sp}  tolerances:  relative={_g(cfg.rtol)}, "
         f"absolute={_g(cfg.abstol)}, divergence={_g(cfg.dtol)}")
     log(f"{sp}  {cfg.resolved_pc_side()} preconditioning")
-    log(f"{sp}  using {cfg.resolved_norm_type().upper()} norm type for "
+    shown_norm = (getattr(cfg, "view_norm_type", None)
+                  or cfg.resolved_norm_type())
+    log(f"{sp}  using {shown_norm.upper()} norm type for "
         "convergence test")
 
 
@@ -310,8 +312,9 @@ def view_pc(pc, prefix, log=print, indent=0, nranks=1, pmat=None, amat=None,
         log(f"{sp}    KSP solver for A00 block")
         view_ksp(pc.ksp_A00, log, indent + 6, nranks)
         log(f"{sp}    KSP solver for S = A11 - A10 inv(A00) A01 ")
-        view_ksp(pc.ksp_schur, log, indent + 6, nranks,
-                 mat_label="Mpscaled")
+        # the Schur-pre matrix's own name: "Mpscaled" on the fine level,
+        # "Mpscaled_coarse" inside -fs_coarse (exSaddle.c:316,369)
+        view_ksp(pc.ksp_schur, log, indent + 6, nranks)
         mat_footer()
     elif isinstance(pc, precond.PCFieldSplitAdditive):
         log(f"{sp}  type: fieldsplit")

@@ -85,6 +85,141 @@ class CartABFConfig:
     lvl1_loc_shape: tuple    # local L-2 spatial shape (reversed)
 
 
+def assemble_host_local(part, ctx, bc_idx, P_f, grids, lame=False,
+                        boxes=None):
+    """Per-box (per-rank) assembly over `boxes` (default: every box).
+
+    This is the host-local leg of setup: each process in a multi-host
+    deployment calls it with its OWN boxes
+    (parallel.multihost.local_boxes) and all-reduces the returned
+    accumulations -- exactly PETSc's MatAssemblyBegin/End stash exchange
+    (femixedspace.c:2624-2625). Additivity is tested in
+    tests/test_multihost.py: the sum of per-host partials equals the
+    single-shot assembly bit-for-bit (all contributions are disjoint
+    element sums).
+
+    Returns dict with: diag_u, A1 (L-2 Galerkin), Mp, dmp, eta_g,
+    pscale_g (global, additive over boxes) and sv_stack, ps_stack
+    (device-stacked; only this host's boxes are filled)."""
+    import scipy.sparse as sp
+    from exsaddle_tpu import models as emodels, driver
+    from exsaddle_tpu.assembly import (FESpace, assemble_element_matrices,
+                                       assemble_schur_pre, project_qp_to_q1,
+                                       interp_q1_to_qp)
+    from exsaddle_tpu.mesh import SaddleMesh
+    from exsaddle_tpu.matfree import _strain_matrix
+
+    mesh = part.mesh
+    nd = mesh.ndim
+    mloc = part.mloc
+    nel_loc = part.nel_loc
+    stack = part._stack_shape()
+    cell = [s / m for s, m in zip(mesh.size, mesh.m_el)]
+
+    nu = mesh.nu
+    n1 = int(np.prod(grids[-2])) * nd
+    diag_u = np.zeros(nu)
+    A1_acc = sp.csr_matrix((n1, n1))
+    Mp_acc = sp.csr_matrix((mesh.np_, mesh.np_))
+    dmp = np.zeros(mesh.np_)
+    eta_g = np.zeros((mesh.nel, 27 if nd == 3 else 9))   # nqp fine
+    pscale_g = np.zeros_like(eta_g)
+
+    sv_stack = None
+    ps_stack = np.zeros(stack + (nel_loc, eta_g.shape[1]))
+
+    # global element index grid (x-fastest) for box slicing
+    el_grid = np.arange(mesh.nel).reshape(tuple(reversed(mesh.m_el)))
+
+    for box in (part.dev_boxes() if boxes is None else boxes):
+        dev_idx = tuple(reversed(box))
+        e0 = [box[d] * mloc[d] for d in range(nd)]
+        # --- ghost-ring-extended coefficient projection (exact vs global,
+        # cart.assemble_local_blocks rationale) ---
+        lo = [1 if e0[d] > 0 else 0 for d in range(nd)]
+        hi = [1 if e0[d] + mloc[d] < mesh.m_el[d] else 0 for d in range(nd)]
+        m_ext = tuple(mloc[d] + lo[d] + hi[d] for d in range(nd))
+        origin = np.array([cell[d] * (e0[d] - lo[d]) for d in range(nd)])
+        emesh = SaddleMesh(nd, m_ext,
+                           tuple(cell[d] * m_ext[d] for d in range(nd)))
+        efes = FESpace(emesh)
+        pts = efes.qp_coords.reshape(-1, nd) + origin[None, :]
+        c = emodels.evaluate_coefficients(ctx, pts).reshape(
+            emesh.nel, efes.nqp, -1)
+        nodal = project_qp_to_q1(efes, c)
+        coeff_ext = driver._qp_dict(ctx, interp_q1_to_qp(efes, nodal))
+        # slice the owned elements (drop the ghost ring)
+        sl = tuple(slice(lo[d], lo[d] + mloc[d])
+                   for d in reversed(range(nd)))
+
+        def owned(a):
+            a = np.asarray(a)
+            return a.reshape(tuple(reversed(m_ext))
+                             + a.shape[1:])[sl].reshape((-1,) + a.shape[1:])
+
+        coeff = {k: owned(v) for k, v in coeff_ext.items()}
+
+        # --- local factored operator data ---
+        lmesh = SaddleMesh(nd, mloc,
+                           tuple(cell[d] * mloc[d] for d in range(nd)))
+        lfes = FESpace(lmesh)
+        G0 = lfes.dNu_glob[0]
+        detJ0 = float(lfes.detJ_u[0, 0])
+        Bs, wc = _strain_matrix(G0, nd, lmesh.u_basis)
+        fac = lfes.wq * detJ0
+        visc = coeff["mu"] if lame else coeff["eta"]
+        sv = fac[None, :, None] * visc[:, :, None] * wc[None, None, :]
+        if sv_stack is None:
+            sv_stack = np.zeros(stack + sv.shape)
+        sv_stack[dev_idx] = sv
+        if lame:
+            inv = 1.0 / coeff["lambda"] + 1.0 / coeff["mu"]
+        else:
+            inv = 1.0 / coeff["eta"]
+        ps_stack[dev_idx] = -(lfes.wq[None, :] * lfes.detJ_p) * inv
+
+        el_ids = el_grid[tuple(
+            slice(e0[d], e0[d] + mloc[d])
+            for d in reversed(range(nd)))].reshape(-1)
+        eta_g[el_ids] = visc
+        pscale_g[el_ids] = ps_stack[dev_idx]
+
+        # --- transient local element batch: the ONLY element-matrix
+        # assembly, size (nel_loc, nud, nud) ---
+        elm = assemble_element_matrices(lfes, coeff, lame=lame)
+        A11 = np.asarray(elm["A11"])
+        assert A11.shape[0] == nel_loc == mesh.nel // part.ndev
+
+        udofs = mesh.u_el_dofs[el_ids]                  # (nel_loc, nud)
+        # BC-eliminated contributions (keep rows/cols, unit diag via mask)
+        bc = np.zeros(mesh.ndof)
+        bc[np.asarray(bc_idx)] = 1.0
+        ku = (1.0 - bc[: nu])[udofs]
+        A11k = A11 * ku[:, :, None] * ku[:, None, :]
+        np.add.at(diag_u, udofs.ravel(),
+                  np.einsum("eii->ei", A11k).ravel())
+
+        rows = np.broadcast_to(udofs[:, :, None], A11k.shape).ravel()
+        cols = np.broadcast_to(udofs[:, None, :], A11k.shape).ravel()
+        A_box = sp.coo_matrix((A11k.ravel(), (rows, cols)),
+                              shape=(nu, nu)).tocsr()
+        A1_acc = A1_acc + (P_f.T @ (A_box @ P_f)).tocsr()
+
+        Sel = np.asarray(assemble_schur_pre(lfes, coeff, lame=lame))
+        pnod = mesh.p_el_nodes[el_ids]
+        np.add.at(dmp, pnod.ravel(), np.einsum("eii->ei", Sel).ravel())
+        prows = np.broadcast_to(pnod[:, :, None], Sel.shape).ravel()
+        pcols = np.broadcast_to(pnod[:, None, :], Sel.shape).ravel()
+        Mp_acc = Mp_acc + sp.coo_matrix(
+            (Sel.ravel(), (prows, pcols)),
+            shape=(mesh.np_, mesh.np_)).tocsr()
+    if sv_stack is None:          # empty `boxes`
+        sv_stack = np.zeros(stack + (nel_loc, eta_g.shape[1], 1))
+    return {"diag_u": diag_u, "A1": A1_acc, "Mp": Mp_acc, "dmp": dmp,
+            "eta_g": eta_g, "pscale_g": pscale_g,
+            "sv_stack": sv_stack, "ps_stack": ps_stack}
+
+
 def build_cart_abf(part, ctx, bc_idx, bc_vals, lame=False,
                    dtype=jnp.float64, nlevels=3, cfg_kw=None):
     """Per-shard setup over a CartPartition.
@@ -135,104 +270,16 @@ def build_cart_abf(part, ctx, bc_idx, bc_vals, lame=False,
     # fine -> L-2 interpolation (global CSR, setup only)
     P_f = Prolongation(grids[-2], grids[-1], nd).to_scipy()
 
-    # per-box accumulation targets
+    acc = assemble_host_local(part, ctx, bc_idx, P_f, grids, lame=lame)
+    diag_u = acc["diag_u"]
+    A1_acc = acc["A1"]
+    Mp_acc = acc["Mp"]
+    dmp = acc["dmp"]
+    eta_g = acc["eta_g"]
+    pscale_g = acc["pscale_g"]
+    sv_stack = acc["sv_stack"]
+    ps_stack = acc["ps_stack"]
     nu = mesh.nu
-    n1 = int(np.prod(grids[-2])) * nd
-    diag_u = np.zeros(nu)
-    A1_acc = sp.csr_matrix((n1, n1))
-    Mp_acc = sp.csr_matrix((mesh.np_, mesh.np_))
-    dmp = np.zeros(mesh.np_)
-    eta_g = np.zeros((mesh.nel, 27 if nd == 3 else 9))   # nqp fine
-    pscale_g = np.zeros_like(eta_g)
-
-    sv_stack = None
-    ps_stack = np.empty(stack + (nel_loc, eta_g.shape[1]))
-
-    # global element index grid (x-fastest) for box slicing
-    el_grid = np.arange(mesh.nel).reshape(tuple(reversed(mesh.m_el)))
-
-    for box in part.dev_boxes():
-        dev_idx = tuple(reversed(box))
-        e0 = [box[d] * mloc[d] for d in range(nd)]
-        # --- ghost-ring-extended coefficient projection (exact vs global,
-        # cart.assemble_local_blocks rationale) ---
-        lo = [1 if e0[d] > 0 else 0 for d in range(nd)]
-        hi = [1 if e0[d] + mloc[d] < mesh.m_el[d] else 0 for d in range(nd)]
-        m_ext = tuple(mloc[d] + lo[d] + hi[d] for d in range(nd))
-        origin = np.array([cell[d] * (e0[d] - lo[d]) for d in range(nd)])
-        emesh = SaddleMesh(nd, m_ext,
-                           tuple(cell[d] * m_ext[d] for d in range(nd)))
-        efes = FESpace(emesh)
-        pts = efes.qp_coords.reshape(-1, nd) + origin[None, :]
-        c = emodels.evaluate_coefficients(ctx, pts).reshape(
-            emesh.nel, efes.nqp, -1)
-        nodal = project_qp_to_q1(efes, c)
-        coeff_ext = driver._qp_dict(ctx, interp_q1_to_qp(efes, nodal))
-        # slice the owned elements (drop the ghost ring)
-        sl = tuple(slice(lo[d], lo[d] + mloc[d])
-                   for d in reversed(range(nd)))
-
-        def owned(a):
-            a = np.asarray(a)
-            return a.reshape(tuple(reversed(m_ext))
-                             + a.shape[1:])[sl].reshape((-1,) + a.shape[1:])
-
-        coeff = {k: owned(v) for k, v in coeff_ext.items()}
-
-        # --- local factored operator data ---
-        lmesh = SaddleMesh(nd, mloc,
-                           tuple(cell[d] * mloc[d] for d in range(nd)))
-        lfes = FESpace(lmesh)
-        G0 = lfes.dNu_glob[0]
-        detJ0 = float(lfes.detJ_u[0, 0])
-        Bs, wc = _strain_matrix(G0, nd, lmesh.u_basis)
-        fac = lfes.wq * detJ0
-        visc = coeff["mu"] if lame else coeff["eta"]
-        sv = fac[None, :, None] * visc[:, :, None] * wc[None, None, :]
-        if sv_stack is None:
-            sv_stack = np.empty(stack + sv.shape)
-        sv_stack[dev_idx] = sv
-        if lame:
-            inv = 1.0 / coeff["lambda"] + 1.0 / coeff["mu"]
-        else:
-            inv = 1.0 / coeff["eta"]
-        ps_stack[dev_idx] = -(lfes.wq[None, :] * lfes.detJ_p) * inv
-
-        el_ids = el_grid[tuple(
-            slice(e0[d], e0[d] + mloc[d])
-            for d in reversed(range(nd)))].reshape(-1)
-        eta_g[el_ids] = visc
-        pscale_g[el_ids] = ps_stack[dev_idx]
-
-        # --- transient local element batch: the ONLY element-matrix
-        # assembly, size (nel_loc, nud, nud) ---
-        elm = assemble_element_matrices(lfes, coeff, lame=lame)
-        A11 = np.asarray(elm["A11"])
-        assert A11.shape[0] == nel_loc == mesh.nel // part.ndev
-
-        udofs = mesh.u_el_dofs[el_ids]                  # (nel_loc, nud)
-        # BC-eliminated contributions (keep rows/cols, unit diag via mask)
-        bc = np.zeros(mesh.ndof)
-        bc[np.asarray(bc_idx)] = 1.0
-        ku = (1.0 - bc[: nu])[udofs]
-        A11k = A11 * ku[:, :, None] * ku[:, None, :]
-        np.add.at(diag_u, udofs.ravel(),
-                  np.einsum("eii->ei", A11k).ravel())
-
-        rows = np.broadcast_to(udofs[:, :, None], A11k.shape).ravel()
-        cols = np.broadcast_to(udofs[:, None, :], A11k.shape).ravel()
-        A_box = sp.coo_matrix((A11k.ravel(), (rows, cols)),
-                              shape=(nu, nu)).tocsr()
-        A1_acc = A1_acc + (P_f.T @ (A_box @ P_f)).tocsr()
-
-        Sel = np.asarray(assemble_schur_pre(lfes, coeff, lame=lame))
-        pnod = mesh.p_el_nodes[el_ids]
-        np.add.at(dmp, pnod.ravel(), np.einsum("eii->ei", Sel).ravel())
-        prows = np.broadcast_to(pnod[:, :, None], Sel.shape).ravel()
-        pcols = np.broadcast_to(pnod[:, None, :], Sel.shape).ravel()
-        Mp_acc = Mp_acc + sp.coo_matrix(
-            (Sel.ravel(), (prows, pcols)),
-            shape=(mesh.np_, mesh.np_)).tocsr()
 
     bc = np.zeros(mesh.ndof)
     bc[np.asarray(bc_idx)] = 1.0

@@ -1,0 +1,112 @@
+"""Multi-host (DCN) scaffolding for the cartesian distributed solver.
+
+The reference scales across nodes with plain MPI ranks (SURVEY.md section 5:
+`mpiexec -n <ranks>`, PETSc stash exchange + VecScatter over the
+interconnect). The TPU-native equivalent is a TWO-TIER network: chips
+within a host/slice talk over ICI; hosts talk over DCN. This module maps
+the solver's cartesian device grid onto that hierarchy:
+
+  - `initialize()` wraps `jax.distributed.initialize` -- the JAX runtime
+    handshake that turns N independent host processes into one logical
+    computation (each host sees its local chips + addressable globals).
+    It is a guarded no-op in single-process runs, so the same driver
+    script works on a laptop, one TPU VM, or a multi-host pod slice.
+  - `host_partition()` builds the CartPartition whose OUTERMOST grid axis
+    (z in 3D -- the slowest-varying axis of the device stack,
+    cart.CartPartition._stack_shape) is the host axis. Every ppermute
+    halo exchange then crosses DCN on at most that one axis (one
+    plane-sized message per neighbor host per apply); the x/y halos and
+    the high-frequency Gram-Schmidt psum stay... the psum spans all axes
+    but its payload is a scalar, which DCN handles at negligible cost.
+    This is the standard "outer axis over DCN" recipe (scaling-book
+    collective design; BASELINE.json nnz/s scaling at 1 chip / 1 host /
+    N hosts).
+  - `local_boxes()` gives each process the (ix, iy, iz) element boxes its
+    OWN devices own, so per-shard setup (cart_abf.build_cart_abf's
+    per-box assembly, femixedspace.c:2306-2647) can run host-locally: a
+    host assembles only the element blocks of its slab of the grid.
+
+Real multi-host execution needs a pod slice (not available in this
+environment); the logical path -- device ordering, host-axis placement,
+per-host box ownership -- is exercised by tests/test_multihost.py on a
+virtual 8-device mesh split as 2 hosts x 4 chips.
+"""
+
+import os
+
+import numpy as np
+import jax
+
+from exsaddle_tpu.parallel.cart import CartPartition
+
+
+def initialize(coordinator_address=None, num_processes=None,
+               process_id=None):
+    """Initialize JAX's multi-process runtime; no-op on a single host.
+
+    Multi-process mode is entered when any of the arguments is given or
+    the standard environment (JAX_COORDINATOR_ADDRESS / cloud TPU
+    metadata) announces a multi-process topology. Returns
+    (num_processes, process_id) as seen by the runtime after (possible)
+    initialization.
+    """
+    explicit = (coordinator_address is not None
+                or num_processes is not None or process_id is not None)
+    env = os.environ.get("JAX_COORDINATOR_ADDRESS") \
+        or os.environ.get("COORDINATOR_ADDRESS")
+    if explicit or env:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address or env,
+            num_processes=num_processes, process_id=process_id)
+    return jax.process_count(), jax.process_index()
+
+
+def host_devices():
+    """Global device list ordered host-major (process 0's chips first).
+
+    With a real multi-host runtime this is the property that makes
+    `host_partition` place each host's chips contiguously along the
+    outermost mesh axis; in single-process runs it is just
+    `jax.devices()`.
+    """
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return devs
+
+
+def host_partition(mesh, n_hosts, chips_per_host, chip_shape=None):
+    """CartPartition over (n_hosts * chips_per_host) devices with the host
+    axis on the OUTERMOST grid dimension.
+
+    chip_shape: device grid per host over the remaining dims (innermost
+    first), e.g. (2, 2) for 4 chips in 3D -> dev_shape (2, 2, n_hosts).
+    Default: all chips along the second-outermost axis.
+
+    The returned partition's device stack is z-major
+    (CartPartition._stack_shape), so devices [h*chips_per_host :
+    (h+1)*chips_per_host] of `host_devices()` land exactly on host h's
+    slab -- ICI inside the slab, DCN only across slab faces.
+    """
+    nd = mesh.ndim
+    if chip_shape is None:
+        chip_shape = (1,) * (nd - 2) + (chips_per_host,)
+    if int(np.prod(chip_shape)) != chips_per_host:
+        raise ValueError(f"chip_shape {chip_shape} does not hold "
+                         f"{chips_per_host} chips")
+    dev_shape = tuple(chip_shape) + (n_hosts,)
+    if len(dev_shape) != nd:
+        raise ValueError(f"chip_shape must have {nd - 1} dims")
+    return CartPartition(mesh, dev_shape)
+
+
+def local_boxes(part, process_id, n_hosts):
+    """The (ix, iy[, iz]) element boxes owned by `process_id`'s devices
+    under a `host_partition` layout (host axis = outermost dim). Used to
+    restrict per-shard setup to host-local assembly."""
+    pz = part.dev_shape[-1]
+    if pz % n_hosts:
+        raise ValueError(f"outer device axis {pz} not divisible by "
+                         f"{n_hosts} hosts")
+    per_host = pz // n_hosts
+    lo = process_id * per_host
+    hi = lo + per_host
+    return [b for b in part.dev_boxes() if lo <= b[-1] < hi]

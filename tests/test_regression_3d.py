@@ -85,9 +85,15 @@ def test_exSaddle3d_lame_mg_1():
 
 
 def test_exSaddle3d_mg_fs_coarse_1():
+    """Full output incl. the complete 141-line -ksp_view solver tree
+    (testref/exSaddle3d_mg_fs_coarse_1.ref:23-163, Makefile:389): nested
+    fieldsplit-Schur coarse solver inside a rediscretized saddle PCMG,
+    with the coarse Schur-pre named Mpscaled_coarse (exSaddle.c:369) and
+    the GOTCHA'd coarse convergence test (exSaddle.c:361)."""
     check_against_ref(
         "exSaddle3d_mg_fs_coarse_1",
-        "-mg -nlevels 2 -fs_coarse -saddle_mg_levels_ksp_type gmres "
+        "-saddle_ksp_view -mg -nlevels 2 -fs_coarse "
+        "-saddle_mg_levels_ksp_type gmres "
         "-saddle_ksp_monitor_short -saddle_ksp_converged_reason "
         "-saddle_mg_coarse_fieldsplit_u_pc_type jacobi "
         "-saddle_mg_coarse_fieldsplit_p_pc_type jacobi "
@@ -96,4 +102,4 @@ def test_exSaddle3d_mg_fs_coarse_1():
         "-saddle_mg_levels_pc_type jacobi",
         # deeply nested iterative solves (fgmres coarse fieldsplit inside MG)
         # amplify rounding-order differences to ~0.3%
-        ndim=3, truncate_at=r"^KSP Object:", rtol=2e-2)
+        ndim=3, rtol=2e-2)

@@ -25,8 +25,7 @@ def test_exSaddle3d_ar_1():
         "-options_file abf.opts -saddle_ksp_monitor_short -model 0 -mx 6 "
         "-my 6 -mz 6 -options_left -saddle_fieldsplit_u_ksp_converged_reason "
         "-size_z 0.1",
-        ndim=3, monitor_mode="loose", cwd=ABF,
-        skip_ref_predicate=lambda ln: "saddle_fieldsplit_u_ solve" in ln)
+        ndim=3, monitor_mode="loose", cwd=ABF)
 
 
 def test_exSaddle3d_pseudoice_1():
@@ -35,10 +34,19 @@ def test_exSaddle3d_pseudoice_1():
     except for two documented runtime-value classes:
 
     - 'eigenvalues estimate via gmres min/max' -- the raw Ritz extremes of
-      the esteig probe depend on PETSc's internal noise vector
-      (KSPSetNoisy_Private); skipped (the derived bounds are checked).
-    - 'eigenvalue estimates used' -- derived from emax via the 0,0.2,0,1.1
-      transform; matches to ~0.7%, compared at rtol 0.02.
+      a 10-iteration GMRES esteig probe on PETSc's deterministic noisy RHS
+      (KSPSetNoisy_Private). Our probe (b_i = sin(i) in the reference dof
+      ordering -- the real part of PETSc's complex-build noisy vector)
+      reproduces emax to <=0.6% on both levels. emin is the smallest Ritz
+      value of an UNCONVERGED 10-step Arnoldi whose true lambda_min is
+      ~3e-7: it is pure probe noise (measured spread 0.017..0.11 across
+      candidate deterministic noise vectors vs refs 0.059/0.068) and is
+      compared at rtol 0.65. This is not a weakening of the solver check:
+      BOTH consequential Chebyshev bounds derive from emax alone
+      (used-min = 0.2*emax, used-max = 1.1*emax; transform 0,0.2,0,1.1)
+      and are pinned by the next line at rtol 0.02.
+    - 'eigenvalue estimates used' -- derived from emax; matches to ~0.7%,
+      compared at rtol 0.02.
 
     Monitor history: measured deviation <= 3.9% at every iteration (21 vs
     20 its from the same esteig noise difference); bounds set at 0.06/1."""
@@ -47,6 +55,6 @@ def test_exSaddle3d_pseudoice_1():
         "-saddle_ksp_view -options_file abf.opts -model 11 -size_x 0.1 "
         "-mx 6 -saddle_ksp_monitor_short",
         ndim=3, monitor_mode="loose", cwd=ABF,
-        skip_ref_predicate=lambda ln: "eigenvalues estimate via gmres" in ln,
-        rtol_overrides=((r"eigenvalue estimates used", 0.02),),
+        rtol_overrides=((r"eigenvalues estimate via gmres", 0.65),
+                        (r"eigenvalue estimates used", 0.02)),
         hist_rtol=0.06, its_slack=1)
