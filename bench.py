@@ -330,6 +330,20 @@ def main():
     # float64 must be real for the IR true-residual path (the apply bench
     # keeps explicit float32 dtypes)
     jax.config.update("jax_enable_x64", True)
+    # persistent XLA compilation cache: the jitted ABF program (4-level MG
+    # inside one while_loop) compiles in ~9 min at mx=32; cached, the
+    # bench re-runs in well under the solve time. Verified to work across
+    # processes on this backend.
+    cache_dir = os.environ.get("BENCH_JAX_CACHE",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:                             # pragma: no cover
+        pass
 
     dev = jax.devices()[0]
     peak_gbs, kind = _device_peak(dev)

@@ -202,6 +202,23 @@ class MultilevelILDLFactor:
         self.nlevels = len(self.levels) + (1 if self.coarse is not None
                                            else 0)
 
+    def storage_bytes(self):
+        """Measured memory held by the preconditioner: every per-level
+        array (factor values + index arrays + diagonals + permutations),
+        the basis of the honest 'final elbow space factor' report
+        (pcilupack.c:169 prints ILUPACK's used-elbow, i.e. memory consumed
+        relative to nnz(A))."""
+        total = 0
+        for lv in self.levels:
+            for name in ("Lp", "Li", "Lx", "D", "perm", "iperm"):
+                a = getattr(lv, name, None)
+                if a is not None:
+                    total += np.asarray(a).nbytes
+        if self.coarse is not None:
+            for name in ("Lp", "Li", "Lx", "D"):
+                total += np.asarray(getattr(self.coarse, name)).nbytes
+        return total
+
     def _solve_level(self, k, b):
         if k >= len(self.levels):
             return self.coarse.solve(b) if self.coarse is not None else b

@@ -266,11 +266,16 @@ class PCILUPACK:
         self.fact = MultilevelILDLFactor(
             Pu, droptol, condest=condest, drop_cap=5.0,
             droptolS=droptolS if droptolS is not None else droptol)
-        # banner in the reference's format (pcilupack.c AMGfactor report)
+        # banner in the reference's format (pcilupack.c AMGfactor report).
+        # The elbow factor is the MEASURED memory held by the multilevel
+        # preconditioner relative to the input matrix's CSR memory --
+        # ILUPACK's own used-elbow semantics (pcilupack.c:169 prints
+        # param.elbow as updated by AMGfactor, + its 0.005 rounding nudge)
         log(f"factorization successful with {self.fact.nlevels} levels "
             "completed")
-        log(f"final elbow space factor="
-            f"{self.fact.nnz / max(Pu.nnz, 1) * 2.0:8.2f}")
+        a_bytes = (Pu.data.nbytes + Pu.indices.nbytes + Pu.indptr.nbytes)
+        elbow = self.fact.storage_bytes() / max(a_bytes, 1) + 0.005
+        log(f"final elbow space factor={elbow:8.2f}")
 
     def apply(self, x):
         xnp = np.asarray(x)

@@ -20,3 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache (suite hygiene): every test jits its own
+# solver programs; across tests and across runs most are identical. Purely
+# a compile-time cache -- zero numerical behavior change.
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+try:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:                                  # pragma: no cover
+    pass
