@@ -277,6 +277,8 @@ def bench_apply(mx, inner, reps):
 
     return {
         "t_apply_us": round(t_apply * 1e6, 2),
+        "spmv_nnz_per_s": round(nnz / t_apply / 1e9, 2),   # Gnnz/s, the
+        # BASELINE.json scaling unit (1-chip point; multi-chip needs a pod)
         "effective_csr_gbs": round(csr_bytes / t_apply / 1e9, 1),
         "actual_bytes_min": bytes_min,
         "achieved_gbs_min": round(bytes_min / t_apply / 1e9, 1),

@@ -184,8 +184,14 @@ class KSP:
         haptol = 1e-30
         Hes = np.zeros((1, 0))
         it = 0
-        V = []
-        Z = []
+        # Krylov bases live in preallocated HOST buffers; every product
+        # still runs through the same XLA ops on the same values (stacking
+        # a list per iteration was O(it) dispatches -> O(it^2) per cycle,
+        # dominating small host sub-solves; the buffer is bitwise-neutral)
+        nvec = 0                  # valid rows of Vbuf
+        nz = 0                    # valid rows of Zbuf (flexible)
+        Vbuf = None
+        Zbuf = None
         H = np.zeros((restart + 1, restart))
         g = np.zeros(restart + 1)
 
@@ -193,12 +199,12 @@ class KSP:
 
         def build_current():
             """KSPBuildSolution mid-cycle (used by residual monitors)."""
-            if built or it == 0 or not V:
+            if built or it == 0 or Vbuf is None:
                 return x
             y = np.linalg.solve(H[:it, :it], g[:it])
-            if flexible and Z:
-                return x + y @ jnp.stack(Z[:it])
-            vy = y @ jnp.stack(V[:it])
+            if flexible and nz:
+                return x + y @ jnp.asarray(Zbuf[:it])
+            vy = y @ jnp.asarray(Vbuf[:it])
             return x + (self._pc_apply(vy) if side == "right" else vy)
 
         self.build_solution = build_current
@@ -221,8 +227,14 @@ class KSP:
             if reason:
                 break
 
-            V = [v0 / res]
-            Z = []          # fgmres: preconditioned basis
+            if Vbuf is None:
+                Vbuf = np.zeros((restart + 1, n), dtype=np.asarray(v0).dtype)
+                if flexible:
+                    Zbuf = np.zeros((restart, n),
+                                    dtype=np.asarray(v0).dtype)
+            Vbuf[0] = np.asarray(v0 / res)
+            nvec = 1
+            nz = 0
             H = np.zeros((restart + 1, restart))       # rotated Hessenberg
             Hes = np.zeros((restart + 1, restart))     # unrotated (for eig)
             cs = np.zeros(restart)
@@ -236,15 +248,17 @@ class KSP:
                 if it > 0:
                     self._monitor(itcount, rnorm)
                 # w = M^-1 A v (left) | A M^-1 v (right)
+                vit = jnp.asarray(Vbuf[it])
                 if side == "left":
-                    w = self._pc_apply(self.A(V[it]))
+                    w = self._pc_apply(self.A(vit))
                 else:
-                    z = self._pc_apply(V[it])
+                    z = self._pc_apply(vit)
                     if flexible:
-                        Z.append(z)
+                        Zbuf[it] = np.asarray(z)
+                        nz = it + 1
                     w = self.A(z)
                 # classical (unmodified) Gram-Schmidt, no refinement
-                Vm = jnp.stack(V)                        # (it+1, n)
+                Vm = jnp.asarray(Vbuf[: it + 1])         # (it+1, n)
                 h = np.asarray(Vm @ w)                   # (it+1,)
                 w = w - h @ Vm
                 H[: it + 1, it] = h
@@ -257,7 +271,8 @@ class KSP:
                 if hapbnd > haptol:
                     hapbnd = haptol
                 if tt > hapbnd:
-                    V.append(w / tt)
+                    Vbuf[it + 1] = np.asarray(w / tt)
+                    nvec = it + 2
                 else:
                     hapend = True
                 # apply previous Givens rotations to the new column
@@ -294,11 +309,11 @@ class KSP:
             if it > 0:
                 y = np.linalg.solve(H[:it, :it], g[:it])
                 if flexible:
-                    Zm = jnp.stack(Z)
+                    Zm = jnp.asarray(Zbuf[:it])
                     dx = y @ Zm
                     x = x + dx
                 else:
-                    Vm = jnp.stack(V[:it])
+                    Vm = jnp.asarray(Vbuf[:it])
                     vy = y @ Vm
                     if side == "left":
                         x = x + vy
@@ -336,20 +351,22 @@ class KSP:
         self._monitor(its, rnorm)
         reason = self._converged(its, rnorm, state)
         first_cycle = True
+        n = b.shape[0]
+        Vbuf = np.zeros((cfg.restart, n), dtype=np.asarray(b).dtype)
+        Sbuf = np.zeros_like(Vbuf)
         while not reason:
             if not first_cycle:
                 self.gcr_restarts += 1
             first_cycle = False
-            Vs = []
-            Ss = []
-            while len(Vs) < cfg.restart:
+            ndir = 0
+            while ndir < cfg.restart:
                 s = self._pc_apply(r)
                 v = self.A(s)
-                if Vs:
-                    Vm = jnp.stack(Vs)
+                if ndir:
+                    Vm = jnp.asarray(Vbuf[:ndir])
                     beta = np.asarray(Vm @ v)
                     v = v - beta @ Vm
-                    Sm = jnp.stack(Ss)
+                    Sm = jnp.asarray(Sbuf[:ndir])
                     s = s - beta @ Sm
                 alpha = float(jnp.linalg.norm(v))
                 if alpha == 0.0:
@@ -357,8 +374,9 @@ class KSP:
                     break
                 v = v / alpha
                 s = s / alpha
-                Vs.append(v)
-                Ss.append(s)
+                Vbuf[ndir] = np.asarray(v)
+                Sbuf[ndir] = np.asarray(s)
+                ndir += 1
                 gamma = float(jnp.dot(r, v))
                 x = x + gamma * s
                 r = r - gamma * v
