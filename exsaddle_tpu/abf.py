@@ -325,7 +325,7 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
     nd = mesh.ndim
     elm = assemble_element_matrices(fes, coeff_qp, lame=lame)
     sop, rhs_diri, bc_mask, x_bc = apply_dirichlet_elimination(
-        mesh, elm, bc_idx, bc_vals)
+        mesh, elm, bc_idx, bc_vals, device=False)
     pop = ParityMatFreeOperator.build(mesh, fes, coeff_qp, bc_mask,
                                       lame=lame, dtype=dtype)
     aux = tree_aux(pop)
@@ -339,24 +339,89 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
     for g in grids:
         assert all(n >= 2 for n in g), "too many MG levels for this mesh"
 
-    if A00_csr is None:
-        A00_csr = sop.to_csr()[: mesh.nu, : mesh.nu].tocsr()
+    import scipy.sparse as sp
     prolongs = [Prolongation(grids[k], grids[k + 1], nd)
                 for k in range(nlevels - 1)]
-    # Galerkin chain (host, setup only)
     from exsaddle_tpu.precond_mg import galerkin_coarse_operators
-    coarse_csrs = galerkin_coarse_operators(A00_csr, prolongs)
+    nu = mesh.nu
+    ue = np.asarray(mesh.u_el_dofs)
+    A11k = np.asarray(sop.A11)                 # BC-masked element batch
+    bc_u = np.asarray(bc_mask)[:nu]
+    if A00_csr is not None:
+        # explicit fine CSR supplied (host PC paths): classic chain
+        coarse_csrs = galerkin_coarse_operators(A00_csr, prolongs)
+        fine_diag = A00_csr.diagonal()
+        fine_apply = (lambda v: jnp.asarray(A00_csr @ np.asarray(v)))
+    else:
+        # CSR-free fine level: assembling the global saddle CSR + one
+        # giant SpGEMM dominated setup (measured 25 s of 50 s at mx=20,
+        # ~120 s at mx=32). The same quantities come straight from the
+        # element batch:
+        #  - Jacobi diagonal: scatter-add of the element diagonals;
+        #  - esteig apply: gather -> batched element matvec -> scatter;
+        #  - L-2 Galerkin matrix: per-element dense RAP. The interpolation
+        #    row of any fine node inside an element is supported entirely
+        #    on that element's corners (trilinear weights vanish on the
+        #    others), so P_loc^T A_e P_loc summed over elements equals
+        #    P^T A P exactly (up to summation order).
+        fine_diag = bc_u.copy()
+        np.add.at(fine_diag, ue.ravel(),
+                  np.einsum("eii->ei", A11k).ravel())
+
+        def fine_apply(v):
+            x = np.asarray(v)
+            y = bc_u * x
+            ye = np.einsum("eij,ej->ei", A11k, x[ue])
+            np.add.at(y, ue.ravel(), ye.ravel())
+            return jnp.asarray(y)
+
+        P_f = prolongs[-1].to_scipy().tocsr()
+        # element-corner dofs on the L-2 grid (same ordering as P columns)
+        mels = np.asarray(mesh.m_el)
+        nn1 = mels + 1                          # L-2 nodes per dim
+        egrid = np.stack(np.meshgrid(
+            *[np.arange(m) for m in reversed(mels)], indexing="ij"),
+            -1)[..., ::-1].reshape(-1, nd)      # element x-fastest
+        corners = np.stack(np.meshgrid(
+            *[np.arange(2)] * nd, indexing="ij"),
+            -1)[..., ::-1].reshape(-1, nd)      # local corner x-fastest
+        cnode = egrid[:, None, :] + corners[None, :, :]
+        lin = cnode[..., 0]
+        mult = nn1[0]
+        for d_ in range(1, nd):
+            lin = lin + cnode[..., d_] * mult
+            mult *= nn1[d_]
+        uc = (lin[..., None] * nd
+              + np.arange(nd)[None, None, :]).reshape(len(egrid), -1)
+        # P restricted to element 0 (identical for every element on the
+        # uniform grid; verified in tests against other elements)
+        P_loc = np.asarray(P_f[np.ix_(ue[0], uc[0])].todense())
+        A1e = np.einsum("ia,eij,jb->eab", P_loc, A11k, P_loc,
+                        optimize=True)
+        n1 = int(np.prod(grids[-2])) * nd
+        r1 = np.broadcast_to(uc[:, :, None], A1e.shape).ravel()
+        c1 = np.broadcast_to(uc[:, None, :], A1e.shape).ravel()
+        A1 = sp.coo_matrix((A1e.ravel(), (r1, c1)),
+                           shape=(n1, n1)).tocsr()
+        A1 = A1 + (P_f.T.multiply(bc_u)) @ P_f   # BC unit-diag RAP term
+        A1 = A1.tocsr()
+        coarse_csrs = galerkin_coarse_operators(A1, prolongs[:-1]) + [A1]
 
     # per-level Jacobi diagonals + esteig bounds (levels coarsest..finest;
     # smoothers live on levels 1..nlevels-1)
-    level_mats = coarse_csrs + [A00_csr]
     diags, bounds = [], []
     for k in range(1, nlevels):
-        A = level_mats[k]
-        d = A.diagonal()
+        if k == nlevels - 1:
+            d = fine_diag
+            apply_fn = fine_apply
+            n_lvl = nu
+        else:
+            A = coarse_csrs[k]
+            d = A.diagonal()
+            apply_fn = (lambda v, A=A: jnp.asarray(A @ np.asarray(v)))
+            n_lvl = A.shape[0]
         d = np.where(d == 0.0, 1.0, d)
-        apply_fn = (lambda v, A=A: jnp.asarray(A @ np.asarray(v)))
-        emin, emax = _esteig_bounds(apply_fn, d, A.shape[0])
+        emin, emax = _esteig_bounds(apply_fn, d, n_lvl)
         diags.append(d)
         bounds.append((emin, emax))
 

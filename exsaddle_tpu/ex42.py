@@ -175,7 +175,8 @@ class Ex42Problem:
         bc = self._bc_components().reshape(nel, nud)
         keep = (~bc).astype(float)
         diag = np.einsum("eii->ei", Ae).copy()
-        Ae = Ae * keep[:, :, None] * keep[:, None, :]
+        Ae = Ae * keep[:, :, None]
+        Ae *= keep[:, None, :]
         ii = np.arange(nud)
         Ae[:, ii, ii] = np.where(bc, diag, Ae[:, ii, ii])
         Ge = Ge * keep[:, :, None]

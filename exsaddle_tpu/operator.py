@@ -160,12 +160,18 @@ class SaddleOperator:
         return A
 
 
-def apply_dirichlet_elimination(mesh, elmats, bc_idx, bc_vals):
+def apply_dirichlet_elimination(mesh, elmats, bc_idx, bc_vals,
+                                device=True):
     """Build a masked SaddleOperator + rhs_diri from raw element matrices.
 
     Mirrors MatAssemble_Saddle's BC handling (femixedspace.c:2634-2645):
       rhs_diri = -(A_raw x_bc) with BC rows zeroed;
       A <- zero BC rows+cols, 1.0 on BC diagonal.
+
+    device=False keeps the element batches as host numpy (the jitted ABF
+    build only reads them host-side; transferring the (nel, 81, 81) f64
+    batch through the device link cost ~12 s at mx=20). jax converts on
+    demand if the operator's jitted mult is ever called.
 
     Returns (op, rhs_diri (ndof,), bc_mask (ndof,), x_bc (ndof,)).
     """
@@ -194,19 +200,24 @@ def apply_dirichlet_elimination(mesh, elmats, bc_idx, bc_vals):
     rhs = -rhs
     rhs[:nu][bc_idx] = 0.0   # zero BC rows of the correction
 
-    # mask element blocks
+    # mask element blocks (in-place second factor: the chained broadcast
+    # `A * k[:,:,None] * k[:,None,:]` materializes a second full-size
+    # temporary with strided access -- measured 24x slower on the
+    # (nel, 81, 81) batch)
     keep = 1.0 - bc_mask_u[mesh.u_el_dofs]          # (nel, nud)
-    A11m = A11 * keep[:, :, None] * keep[:, None, :]
+    A11m = A11 * keep[:, :, None]
+    A11m *= keep[:, None, :]
     A12m = A12 * keep[:, :, None]
     A21m = A21 * keep[:, None, :]
 
     bc_mask = np.concatenate([bc_mask_u, np.zeros(np_)])
+    put = jnp.asarray if device else (lambda a: a)
     op = SaddleOperator(
-        A11=jnp.asarray(A11m), A12=jnp.asarray(A12m),
-        A21=jnp.asarray(A21m), A22=jnp.asarray(A22),
-        u_el_dofs=jnp.asarray(mesh.u_el_dofs),
-        p_el_nodes=jnp.asarray(mesh.p_el_nodes),
-        bc_mask=jnp.asarray(bc_mask), nu=nu, np_=np_)
+        A11=put(A11m), A12=put(A12m),
+        A21=put(A21m), A22=put(A22),
+        u_el_dofs=put(mesh.u_el_dofs),
+        p_el_nodes=put(mesh.p_el_nodes),
+        bc_mask=put(bc_mask), nu=nu, np_=np_)
     x_bc = np.concatenate([x_bc_u, np.zeros(np_)])
     return op, rhs, bc_mask, x_bc
 

@@ -299,7 +299,9 @@ class CartOperator:
                                        part.mloc))    # (nel_loc, nud)
             kp = np.asarray(_gather_q1(jnp.asarray(keep_p[di]),
                                        part.mloc))
-            A11[di] = A11[di] * ku[:, :, None] * ku[:, None, :]
+            m = A11[di] * ku[:, :, None]
+            m *= ku[:, None, :]
+            A11[di] = m
             A12[di] = A12[di] * ku[:, :, None] * kp[:, None, :]
             A21[di] = A21[di] * kp[:, :, None] * ku[:, None, :]
             A22[di] = A22[di] * kp[:, :, None] * kp[:, None, :]

@@ -195,7 +195,8 @@ def assemble_host_local(part, ctx, bc_idx, P_f, grids, lame=False,
         bc = np.zeros(mesh.ndof)
         bc[np.asarray(bc_idx)] = 1.0
         ku = (1.0 - bc[: nu])[udofs]
-        A11k = A11 * ku[:, :, None] * ku[:, None, :]
+        A11k = A11 * ku[:, :, None]
+        A11k *= ku[:, None, :]
         np.add.at(diag_u, udofs.ravel(),
                   np.einsum("eii->ei", A11k).ravel())
 
