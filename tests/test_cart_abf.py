@@ -52,6 +52,7 @@ def single_448():
     return ctx, mesh, bc_idx, bc_vals, F, res
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dev_shape", [(1, 2, 4), (2, 2, 2), (1, 1, 8)])
 def test_cart_abf_matches_single_device(single_448, dev_shape):
     ctx, mesh, bc_idx, bc_vals, F, res1 = single_448

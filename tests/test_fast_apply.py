@@ -89,6 +89,7 @@ def test_compiled_fgmres_matches_host_ksp():
     assert abs(hist[-1] - float(rn)) / hist[-1] < 1e-8
 
 
+@pytest.mark.slow
 def test_entry_and_dryrun():
     import __graft_entry__ as g
     fn, args = g.entry()

@@ -1,5 +1,7 @@
 """3D Stokes + Lame regression tests vs testref/ (Makefile:361-513)."""
 
+import pytest
+
 from refcompare import check_against_ref
 
 
@@ -84,6 +86,7 @@ def test_exSaddle3d_lame_mg_1():
         ndim=3, lame=True)
 
 
+@pytest.mark.slow
 def test_exSaddle3d_mg_fs_coarse_1():
     """Full output incl. the complete 141-line -ksp_view solver tree
     (testref/exSaddle3d_mg_fs_coarse_1.ref:23-163, Makefile:389): nested

@@ -13,6 +13,7 @@ solution is preconditioner-independent at convergence)."""
 
 import re
 import numpy as np
+import pytest
 
 from refcompare import run_case, REF_DIR, _monitor_value
 
@@ -36,6 +37,7 @@ def _iters(lines):
     return sum(1 for ln in lines if _monitor_value(ln) is not None) - 1
 
 
+@pytest.mark.slow
 def test_exSaddle3d_ildl_1():
     ref = _ref_lines("exSaddle3d_ildl_1")
     out, res = run_case(
