@@ -343,7 +343,10 @@ def main():
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.0: persist even tiny eager-op compiles -- the setup phase
+        # dispatches a few dozen small ops whose cold compiles cost ~8 s
+        # on this host; all are cache hits on the second process
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:                             # pragma: no cover
         pass
 

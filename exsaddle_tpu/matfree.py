@@ -53,6 +53,47 @@ def _strain_matrix(G, nd, nbu):
     return B.reshape(nqp * ncomp, nd * nbu), wc
 
 
+def factored_host(mesh, fes, coeff_qp, lame=False):
+    """Host-side (numpy float64) factored operator data for the uniform
+    box mesh: the quantities every matrix-free apply AND the whole ABF
+    setup derive from (element matrices are never materialized --
+    A11[e] = Bs^T diag(scale[e]) Bs exactly).
+
+    Returns dict with Bs (nqp*ncomp, nud), Dm (nqp, nud), Np (nqp, npb),
+    fac (nqp,), scale (nel, nqp*ncomp) FLAT, facp_lam, wc (ncomp,)."""
+    nd = mesh.ndim
+    G = fes.dNu_glob
+    # uniform-geometry check: sample elements (a full allclose over the
+    # (nel, nqp, nd, nbu) batch costs seconds at mx=32 for no information)
+    nel = mesh.nel
+    samp = np.unique(np.linspace(0, nel - 1, 8).astype(np.int64))
+    gmax = np.abs(G[0]).max()
+    for e in samp:
+        assert np.abs(G[e] - G[0]).max() <= 1e-12 * gmax, \
+            "matrix-free path requires uniform element geometry"
+    G0 = np.asarray(G[0])                          # (nqp, nd, nbu)
+    detJ0 = float(fes.detJ_u[0, 0])
+    Bs, wc = _strain_matrix(G0, nd, mesh.u_basis)
+    fac = fes.wq * detJ0                           # (nqp,)
+    # Dm[q, nd*i+a] = G0[q, a, i]
+    Dm = np.zeros((fes.nqp, nd * mesh.u_basis))
+    for a in range(nd):
+        Dm[:, a::nd] = G0[:, a, :]
+
+    visc = coeff_qp["mu"] if lame else coeff_qp["eta"]
+    scale = (fac[None, :, None] * np.asarray(visc)[:, :, None]
+             * wc[None, None, :])                  # (nel, nqp, ncomp)
+    scale = np.ascontiguousarray(scale.reshape(nel, -1))
+
+    if lame:
+        facp = fes.wq[None, :] * fes.detJ_p
+        facp_lam = facp / np.asarray(coeff_qp["lambda"])
+    else:
+        facp_lam = np.zeros((1, 1))
+    return {"Bs": Bs, "Dm": Dm, "Np": np.asarray(fes.Np), "fac": fac,
+            "scale": scale, "facp_lam": facp_lam, "wc": wc}
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["Bs", "Dm", "Np", "scale_visc", "fac", "facp_lam",
                       "keep", "bc_mask"],
@@ -63,7 +104,7 @@ class MatFreeSaddleOperator:
     Bs: jnp.ndarray          # (nqp*ncomp, nud) strain matrix
     Dm: jnp.ndarray          # (nqp, nud) divergence sampling matrix
     Np: jnp.ndarray          # (nqp, npb) Q1 basis at qps
-    scale_visc: jnp.ndarray  # (nel, nqp, ncomp) = w detJ * visc * wc
+    scale_visc: jnp.ndarray  # (nel, nqp*ncomp) = w detJ * visc * wc, FLAT
     fac: jnp.ndarray         # (nqp,) = w detJ (uniform)
     facp_lam: jnp.ndarray    # (nel, nqp) = w detJp / lambda (Lame) or zeros(1,1)
     keep: jnp.ndarray        # (ndof,) 1 - bc_mask
@@ -78,39 +119,21 @@ class MatFreeSaddleOperator:
 
     @classmethod
     def build(cls, mesh, fes, coeff_qp, bc_mask, lame=False,
-              dtype=jnp.float32):
-        nd = mesh.ndim
-        G = fes.dNu_glob
-        assert np.allclose(G, G[:1], atol=1e-12 * np.abs(G).max()), \
-            "matrix-free path requires uniform element geometry"
-        G0 = G[0]                                  # (nqp, nd, nbu)
-        detJ0 = float(fes.detJ_u[0, 0])
-        Bs, wc = _strain_matrix(G0, nd, mesh.u_basis)
-        fac = fes.wq * detJ0                       # (nqp,)
-        Dm = G0.transpose(0, 2, 1).reshape(fes.nqp, nd * mesh.u_basis)
-        # Dm[q, nd*i+a] = G0[q, a, i]
-        Dm = np.zeros((fes.nqp, nd * mesh.u_basis))
-        for a in range(nd):
-            Dm[:, a::nd] = G0[:, a, :]
-
-        visc = coeff_qp["mu"] if lame else coeff_qp["eta"]
-        scale = (fac[None, :, None] * np.asarray(visc)[:, :, None]
-                 * wc[None, None, :])              # (nel, nqp, ncomp)
-
-        if lame:
-            facp = fes.wq[None, :] * fes.detJ_p
-            facp_lam = facp / np.asarray(coeff_qp["lambda"])
-        else:
-            facp_lam = np.zeros((1, 1))
-
+              dtype=jnp.float32, host=None):
+        """host: optional precomputed factored_host() dict (reused across
+        dtypes by the ABF setup)."""
+        fd = host if host is not None else factored_host(
+            mesh, fes, coeff_qp, lame=lame)
         cast = lambda a: jnp.asarray(np.asarray(a), dtype)
         keep = 1.0 - np.asarray(bc_mask)
         return cls(
-            Bs=cast(Bs), Dm=cast(Dm), Np=cast(fes.Np), scale_visc=cast(scale),
-            fac=cast(fac), facp_lam=cast(facp_lam), keep=cast(keep),
+            Bs=cast(fd["Bs"]), Dm=cast(fd["Dm"]), Np=cast(fd["Np"]),
+            scale_visc=cast(fd["scale"]),
+            fac=cast(fd["fac"]), facp_lam=cast(fd["facp_lam"]),
+            keep=cast(keep),
             bc_mask=cast(bc_mask), m_el=tuple(mesh.m_el),
             nn_u=tuple(mesh.nn_u), nn_p=tuple(mesh.nn_p),
-            nu=mesh.nu, np_=mesh.np_, ncomp=len(wc), nqp=fes.nqp)
+            nu=mesh.nu, np_=mesh.np_, ncomp=len(fd["wc"]), nqp=fes.nqp)
 
     @property
     def ndof(self):
@@ -131,10 +154,10 @@ class MatFreeSaddleOperator:
         pe = _gather_q1(p_grid, self.m_el)            # (nel, npb)
         nel = xe.shape[0]
 
-        # A11: strain -> viscosity scale -> strain^T
-        strain = (xe @ self.Bs.T).reshape(nel, self.nqp, self.ncomp)
-        strain = strain * self.scale_visc
-        yue = strain.reshape(nel, -1) @ self.Bs
+        # A11: strain -> viscosity scale -> strain^T (scale_visc is stored
+        # flat (nel, nqp*ncomp) so no relayout happens between the matmuls)
+        strain = (xe @ self.Bs.T) * self.scale_visc
+        yue = strain @ self.Bs
 
         # A12 / A21: divergence coupling, weight -w detJ
         ptmp = pe @ self.Np.T                         # (nel, nqp)
@@ -304,11 +327,18 @@ class ParityMatFreeOperator:
 
     @classmethod
     def build(cls, mesh, fes, coeff_qp, bc_mask, lame=False,
-              dtype=jnp.float32):
+              dtype=jnp.float32, host=None):
         mf = MatFreeSaddleOperator.build(mesh, fes, coeff_qp, bc_mask,
-                                         lame=lame, dtype=dtype)
+                                         lame=lame, dtype=dtype, host=host)
+        return cls.from_matfree(mf, mesh)
+
+    @classmethod
+    def from_matfree(cls, mf, mesh):
+        """Permute an existing MatFreeSaddleOperator into the parity
+        layout (keeps its dtype -- reused by the f64 IR path)."""
         perm, _ = parity_permutation(mesh)
         _, shapes = _parity_classes(mesh.nn_u)
+        dtype = mf.Bs.dtype
         cast = lambda a: jnp.asarray(np.asarray(a), dtype)
         keep_p = cast(np.asarray(mf.keep)[perm])
         mask_p = cast(np.asarray(mf.bc_mask)[perm])
@@ -349,9 +379,8 @@ class ParityMatFreeOperator:
         pe = _ob(_gather_q1(p_grid, self.m_el))
         nel = xe.shape[0]
 
-        strain = _ob(xe @ self.Bs.T).reshape(nel, self.nqp, self.ncomp)
-        strain = strain * self.scale_visc
-        yue = _ob(strain.reshape(nel, -1) @ self.Bs)
+        strain = _ob(xe @ self.Bs.T) * self.scale_visc
+        yue = _ob(strain @ self.Bs)
         ptmp = _ob(pe @ self.Np.T)
         yue = yue - _ob((ptmp * self.fac[None, :]) @ self.Dm)
         div = _ob(xe @ self.Dm.T)
@@ -488,8 +517,8 @@ def mult_tree(op, aux, tree, halo_u=None, halo_p=None):
     nel = int(np.prod(op.m_el))
     xe = _ob(op._gather_u([s * k for s, k in zip(subs, ks)]))
     pe = _ob(_gather_q1(pg * kp, op.m_el))
-    strain = _ob(xe @ op.Bs.T).reshape(nel, op.nqp, op.ncomp)
-    yue = _ob((strain * op.scale_visc).reshape(nel, -1) @ op.Bs)
+    strain = _ob(xe @ op.Bs.T) * op.scale_visc
+    yue = _ob(strain @ op.Bs)
     ptmp = _ob(pe @ op.Np.T)
     yue = yue - _ob((ptmp * op.fac[None, :]) @ op.Dm)
     div = _ob(xe @ op.Dm.T)

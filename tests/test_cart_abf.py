@@ -87,8 +87,9 @@ def test_per_shard_setup_is_local(single_448):
                                         dtype=jnp.float64, nlevels=3)
     nel_loc = mesh.nel // 8
     sv = np.asarray(ddata["scale_visc"])
-    # stacked (devz, devy, devx, nel_loc, nqp, ncomp): factored, per-shard
-    assert sv.shape == (4, 2, 1, nel_loc, 27, 6)
+    # stacked (devz, devy, devx, nel_loc, nqp*ncomp): factored, per-shard
+    # (flat trailing dim: no relayout between the apply's two matmuls)
+    assert sv.shape == (4, 2, 1, nel_loc, 27 * 6)
     assert np.asarray(ddata["pscale"]).shape == (4, 2, 1, nel_loc, 27)
 
 
