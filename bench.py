@@ -29,27 +29,28 @@ import time
 import numpy as np
 
 
-# Peak HBM bandwidth per chip, GB/s (public specs). Keys are substrings of
-# jax device_kind strings ("TPU v5 lite" = v5e, "TPU v5" = v5p, ...).
+# Peak HBM bandwidth (GB/s) and bf16 MXU peak (FLOP/s) per chip (public
+# specs). Keys are substrings of jax device_kind strings
+# ("TPU v5 lite" = v5e, "TPU v5" = v5p, ...).
 PEAK_GBS = [
-    ("v5 lite", "v5e", 819.0),
-    ("v5e", "v5e", 819.0),
-    ("v5p", "v5p", 2765.0),
-    ("v5", "v5p", 2765.0),
-    ("v6 lite", "v6e", 1640.0),
-    ("v6e", "v6e", 1640.0),
-    ("v4", "v4", 1228.0),
+    ("v5 lite", "v5e", 819.0, 197e12),
+    ("v5e", "v5e", 819.0, 197e12),
+    ("v5p", "v5p", 2765.0, 459e12),
+    ("v5", "v5p", 2765.0, 459e12),
+    ("v6 lite", "v6e", 1640.0, 918e12),
+    ("v6e", "v6e", 1640.0, 918e12),
+    ("v4", "v4", 1228.0, 275e12),
 ]
 
 
 def _device_peak(dev):
     kind = getattr(dev, "device_kind", "cpu").lower()
-    for sub, name, bw in PEAK_GBS:
+    for sub, name, bw, flops in PEAK_GBS:
         if sub in kind:
-            return bw, name
+            return bw, name, flops
     if dev.platform == "tpu":
-        return 819.0, "tpu-unknown"
-    return 100.0, "cpu"   # nominal single-socket figure for local runs
+        return 819.0, "tpu-unknown", None
+    return 100.0, "cpu", None   # nominal single-socket figure for local runs
 
 
 def _build_problem(mx, with_rhs=False):
@@ -141,6 +142,8 @@ def _trace_top_ops(run, n=5):
 
 
 def bench_apply(mx, inner, reps):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -154,58 +157,97 @@ def bench_apply(mx, inner, reps):
     bc_mask[prob["bc_idx"]] = 1.0
     op = ParityMatFreeOperator.build(mesh, prob["fes"], prob["coeff"],
                                      bc_mask, dtype=jnp.float32)
-
-    @jax.jit
-    def applies(op, aux, tree):
-        def body(_, tr):
-            y = mult_tree(op, aux, tr)
-            n = tree_norm(y)                     # keep magnitudes bounded
-            return jax.tree.map(lambda a: a / n, y)
-        return lax.fori_loop(0, inner, body, tree)
-
     aux = tree_aux(op)
     x = jnp.asarray(np.random.default_rng(0)
                     .standard_normal(mesh.ndof).astype(np.float32))
     tree = to_tree(op, x)
-    tree = applies(op, aux, tree)
-    jax.block_until_ready(tree)                  # compile + warm
 
-    # median of reps, discarding physically-impossible timings (the tunnel
-    # occasionally returns early from block_until_ready)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(applies(op, aux, tree))
-        dt = (time.perf_counter() - t0) / inner
-        if dt > 2e-6:
-            times.append(dt)
-    if not times:
-        raise RuntimeError("all benchmark repetitions returned instantly")
-    t_apply = float(np.median(times))
+    # --- stabilization without measurement bias (VERDICT r3 item 3b) ----
+    # A repeated apply needs bounded magnitudes; a per-iteration
+    # norm+rescale costs ~60% of the loop (100 dependent scalar
+    # reductions). Instead fold a constant 1/rho into the operator's
+    # coefficient data (scale_visc and fac), where rho is the measured
+    # dominant growth rate: the timed body is then EXACTLY the production
+    # apply -- same HLO, no extra ops -- and iterates converge to the
+    # dominant eigenvector with growth ~1.
+    @jax.jit
+    def norm_applies(op, aux, tree):
+        with jax.default_matmul_precision("float32"):
+            def body(_, tr):
+                y = mult_tree(op, aux, tr)
+                n = tree_norm(y)
+                return jax.tree.map(lambda a: a / n, y), n
+            def step(_, carry):
+                tr, _ = carry
+                return body(None, tr)
+            return lax.fori_loop(0, 30, step, (tree, jnp.float32(1.0)))
 
-    nnz = assembled_nnz(mesh)
-    csr_bytes = nnz * 8 + 3 * mesh.ndof * 4      # CSR vals+cols + x,y traffic
-    flops, bytes_min = _apply_flops_bytes(mesh, op, 4)
+    tree, rho = norm_applies(op, aux, tree)
+    jax.block_until_ready(tree)
+    c = jnp.float32(1.0 / float(rho))
+    op_c = dataclasses.replace(op, scale_visc=op.scale_visc * c,
+                               fac=op.fac * c)
 
-    # per-kernel breakdown (VERDICT r2: make regressions attributable):
-    # time the same apply under the solver's f32 matmul precision, and the
-    # pieces of one apply (gather+matmul leg vs scatter leg) separately
-    breakdown = {}
+    @jax.jit
+    def applies(op, aux, tree):
+        with jax.default_matmul_precision("float32"):
+            def body(_, tr):
+                return mult_tree(op, aux, tr)
+            return lax.fori_loop(0, inner, body, tree)
+
+    out = applies(op_c, aux, tree)
+    jax.block_until_ready(out)                   # compile + warm
+    # stability audit: the scaled power iteration must stay in a sane
+    # float32 range over `inner` applies or the timing is meaningless
+    fin = float(tree_norm(out))
+    stable = np.isfinite(fin) and 1e-12 < fin < 1e12
 
     def timed(fn, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        o = fn(*args)
+        jax.block_until_ready(o)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             jax.block_until_ready(fn(*args))
             dt = (time.perf_counter() - t0) / inner
-            if dt > 2e-6:
+            if dt > 2e-6:    # tunnel block_until_ready early-return guard
                 ts.append(dt)
         return float(np.median(ts)) if ts else float("nan")
 
+    breakdown = {"power_rho": round(float(rho), 4),
+                 "scaled_loop_final_norm": fin}
+    if stable:
+        # headline: pure production-precision apply, nothing else in the
+        # loop body (VERDICT r3 item 3a/3b)
+        t_apply = timed(applies, op_c, aux, tree)
+    else:                                        # pragma: no cover
+        breakdown["stability_fallback"] = "norm-rescale loop"
+        @jax.jit
+        def applies_guard(op, aux, tree):
+            with jax.default_matmul_precision("float32"):
+                def body(_, tr):
+                    y = mult_tree(op, aux, tr)
+                    return jax.tree.map(lambda a: a / tree_norm(y), y)
+                return lax.fori_loop(0, inner, body, tree)
+        t_apply = timed(applies_guard, op, aux, tree)
+
+    nnz = assembled_nnz(mesh)
+    csr_bytes = nnz * 8 + 3 * mesh.ndof * 4      # CSR vals+cols + x,y traffic
+    flops, bytes_min = _apply_flops_bytes(mesh, op, 4)
+
+    # comparability extras: the bf16 (TPU-default matmul precision)
+    # variant, and the round-1..3 norm-stabilized loop
     @jax.jit
-    def applies_f32prec(op, aux, tree):
+    def applies_bf16(op, aux, tree):
+        def body(_, tr):
+            return mult_tree(op, aux, tr)
+        return lax.fori_loop(0, inner, body, tree)
+
+    breakdown["apply_bf16prec_us"] = round(
+        timed(applies_bf16, op_c, aux, tree) * 1e6, 2)
+
+    @jax.jit
+    def applies_normloop(op, aux, tree):
         with jax.default_matmul_precision("float32"):
             def body(_, tr):
                 y = mult_tree(op, aux, tr)
@@ -213,28 +255,8 @@ def bench_apply(mx, inner, reps):
                 return jax.tree.map(lambda a: a / n, y)
             return lax.fori_loop(0, inner, body, tree)
 
-    t32 = timed(applies_f32prec, op, aux, tree)
-    breakdown["apply_f32prec_us"] = round(t32 * 1e6, 2)
-
-    @jax.jit
-    def norms_only(tree):
-        def body(_, tr):
-            n = tree_norm(tr) + 1.0
-            return jax.tree.map(lambda a: a / n, tr)
-        return lax.fori_loop(0, inner, body, tree)
-
-    tn = timed(norms_only, tree)
-    breakdown["treenorm_scale_us"] = round(tn * 1e6, 2)
-    # the stabilizing norm+scale is latency-bound (100 dependent scalar
-    # reductions), NOT bandwidth: it costs ~64% of the loop iteration by
-    # itself. t_apply (and the headline effective bandwidth) retain the
-    # round-1/2 methodology for comparability; the net estimate below
-    # bounds the pure apply cost from above after removing the harness
-    # stabilizer.
-    if tn < t_apply:
-        breakdown["apply_minus_norm_us"] = round((t_apply - tn) * 1e6, 2)
-        breakdown["effective_csr_gbs_net"] = round(
-            csr_bytes / (t_apply - tn) / 1e9, 1)
+    breakdown["apply_normloop_us"] = round(
+        timed(applies_normloop, op, aux, tree) * 1e6, 2)
 
     # --- XLA self-report (VERDICT r2 weak #2/#3: make regressions
     # attributable, report MXU utilization). cost_analysis is the
@@ -243,8 +265,11 @@ def bench_apply(mx, inner, reps):
     try:
         # cost-analyze ONE apply (XLA counts a while body once, so the
         # looped executable under-reports by the trip count)
-        one = jax.jit(lambda op, aux, tr: mult_tree(op, aux, tr))
-        compiled = one.lower(op, aux, tree).compile()
+        def one_fn(op, aux, tr):
+            with jax.default_matmul_precision("float32"):
+                return mult_tree(op, aux, tr)
+        one = jax.jit(one_fn)
+        compiled = one.lower(op_c, aux, tree).compile()
         ca = compiled.cost_analysis() or {}
         xf = float(ca.get("flops", 0.0))
         xb = float(ca.get("bytes accessed", 0.0))
@@ -258,11 +283,12 @@ def bench_apply(mx, inner, reps):
             "xla_arg_bytes": getattr(mem, "argument_size_in_bytes", None),
         }
         # fraction of the chip's MXU ceiling (f32 ~ 1/4 of the bf16 peak
-        # via multi-pass; peaks: v5e 197 bf16 TFLOP/s)
+        # via multi-pass), keyed by device kind (ADVICE r3)
         dev = jax.devices()[0]
-        if dev.platform == "tpu":
+        _, _, peak_bf16 = _device_peak(dev)
+        if dev.platform == "tpu" and peak_bf16:
             xla["mxu_util_vs_f32_peak"] = round(
-                (xf / t_apply) / (197e12 / 4.0), 3)
+                (xf / t_apply) / (peak_bf16 / 4.0), 3)
     except Exception as e:                        # pragma: no cover
         xla = {"xla_error": f"{type(e).__name__}: {e}"}
     breakdown.update(xla)
@@ -271,7 +297,7 @@ def bench_apply(mx, inner, reps):
     # tunnel; host-side totals still localize dispatch overheads) ---
     try:
         breakdown["trace_top_ops"] = _trace_top_ops(
-            lambda: jax.block_until_ready(applies(op, aux, tree)))
+            lambda: jax.block_until_ready(applies(op_c, aux, tree)))
     except Exception as e:                        # pragma: no cover
         breakdown["trace_top_ops"] = f"{type(e).__name__}: {e}"
 
@@ -351,7 +377,7 @@ def main():
         pass
 
     dev = jax.devices()[0]
-    peak_gbs, kind = _device_peak(dev)
+    peak_gbs, kind, _ = _device_peak(dev)
     on_tpu = dev.platform == "tpu"
     mx = int(os.environ.get("BENCH_MX", "32" if on_tpu else "8"))
     inner = int(os.environ.get("BENCH_INNER", "100" if on_tpu else "10"))

@@ -260,6 +260,58 @@ def stencil_apply(W, x):
     return stencil_accum(W, xp)
 
 
+def stencil_to_merged(W):
+    """Lane-friendly form of a block stencil: the trailing (x, dof) dims
+    fuse into one length-(nx*nd) dim (m = nd*ix + a), and the dof-coupling
+    offsets delta = j - a become extra shifted terms along it:
+
+        y[.., m] = sum_{s, delta} V[s, delta, .., m] * x[.., m + off_x(s)*nd + delta]
+
+    A block stencil with trailing dim nd=3 puts 3 elements in the 128-wide
+    TPU lane dim (~2% utilization; measured 313 us per L-2 apply at
+    mx=32); the merged layout runs the same MACs on length-99 lanes
+    (189 us measured, before fusion with the unrolled smoother).
+
+    Returns V: (3^ndim, 2*nd-1, *grid[:-1], nx*nd)."""
+    grid = W.shape[:-3]
+    ns = W.shape[-3]
+    nd = W.shape[-1]
+    nx = grid[-1]
+    ndelta = 2 * nd - 1
+    V = np.zeros((ns, ndelta) + grid[:-1] + (nx * nd,), W.dtype)
+    for s in range(ns):
+        for a in range(nd):
+            for j in range(nd):
+                di = (j - a) + nd - 1
+                V[(s, di) + (Ellipsis, slice(a, None, nd))] = \
+                    W[..., s, a, j]
+    return V
+
+
+def stencil_apply_merged(V, x):
+    """y = A x in the merged (x, dof) lane layout. x: (*grid[:-1], nx*nd).
+    Transposes stencil_to_merged; identical matrix, summation order over
+    (s, delta) instead of (s, j)."""
+    ns, ndelta = V.shape[0], V.shape[1]
+    nd = (ndelta + 1) // 2
+    ndim = x.ndim                     # spatial dims, merged last
+    pad_m = 2 * nd - 1
+    zero = jnp.array(0.0, x.dtype)
+    xp = lax.pad(x, zero, [(1, 1, 0)] * (ndim - 1) + [(pad_m, pad_m, 0)])
+    shape = x.shape
+    offs = [tuple(reversed(o))
+            for o in itertools.product(*[(-1, 0, 1)] * ndim)]
+    y = jnp.zeros_like(x)
+    for s, off in enumerate(offs):
+        lead = tuple(slice(1 + off[ndim - 1 - d],
+                           1 + off[ndim - 1 - d] + shape[d])
+                     for d in range(ndim - 1))
+        for di in range(ndelta):
+            sh = pad_m + off[0] * nd + (di - (nd - 1))
+            y = y + V[s, di] * xp[lead + (slice(sh, sh + shape[-1]),)]
+    return y
+
+
 # --------------------------------------------------------------------------
 # Setup
 # --------------------------------------------------------------------------
@@ -288,6 +340,13 @@ class ABFConfig:
     # the element-apply matmuls are bandwidth-bound so the extra MXU passes
     # are nearly free.
     matmul_precision: str = "float32"
+    # Matmul precision INSIDE the MG V-cycle and the Schur p-polynomial
+    # (the preconditioner only -- FGMRES/GCR residuals, Gram-Schmidt and
+    # the operator applies they see stay at matmul_precision). A flexible
+    # outer Krylov method tolerates a perturbed preconditioner, so the
+    # smoothing matmuls may ride single-pass bf16 ("default"); kept
+    # "float32" by default for bit-stable regression behavior.
+    pc_matmul_precision: str = "float32"
     # grid metadata (filled by build)
     cls_shapes: tuple = ()
     m_el: tuple = ()
@@ -690,6 +749,9 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
         "inv_diag_fine": inv_diag_fine,
         "inv_diag_lvls": inv_diag_lvls,
         "stencils": [cast(W) for W in stencils],
+        # merged (x, dof)-lane form for the single-device V-cycle (the
+        # W-form stays for the distributed builds, which shard it)
+        "stencils_m": [cast(stencil_to_merged(W)) for W in stencils],
         "coarse_inv": cast(coarse_inv),
         "bounds": [(cast(b[0]), cast(b[1])) for b in bounds],
         "pscale": cast(pscale),
@@ -731,17 +793,23 @@ def make_abf_solver(cfg):
         def fineA(subs):
             return mult_u_tree(op, aux, subs)
 
-        def make_stencilA(W):
-            return lambda xg: stencil_apply(W, xg)
-
         def coarse_solve(xg):
             flat = xg.reshape(-1)
             return (data["coarse_inv"] @ flat).reshape(xg.shape)
 
+        def merge(x):
+            s = x.shape
+            return x.reshape(s[:-2] + (s[-2] * s[-1],))
+
+        def unmerge(x):
+            s = x.shape
+            return x.reshape(s[:-1] + (s[-1] // nd, nd))
+
         # level operators for k = 1 .. nlev-1 (smoothed levels); every
         # intermediate level -- including the L-2 Galerkin level -- is a
         # materialized block stencil (same matrix as R A_fine P at
-        # O(coarse) cost per smoothing iteration)
+        # O(coarse) cost per smoothing iteration), applied in the merged
+        # (x, dof)-lane layout
         lvl_ops = {}
         lvl_pc = {}
         lvl_bounds = {}
@@ -753,14 +821,19 @@ def make_abf_solver(cfg):
                 invd = data["inv_diag_fine"]
                 lvl_pc[k] = lambda t, d=invd: [a * b for a, b in zip(d, t)]
             else:
-                lvl_ops[k] = make_stencilA(data["stencils"][k - 1])
-                invd = data["inv_diag_lvls"][k - 1]
-                lvl_pc[k] = lambda t, d=invd: d * t
+                V = data["stencils_m"][k - 1]
+                lvl_ops[k] = (lambda xm, V=V:
+                              stencil_apply_merged(V, xm))
+                invd_m = merge(data["inv_diag_lvls"][k - 1])
+                lvl_pc[k] = lambda t, d=invd_m: d * t
 
         def smooth(k, b, x0v):
             emin, emax = lvl_bounds[k]
+            # unroll the small stencil levels; keep the big fine level as
+            # a tight loop (see treeops.cheb_smooth's measurements)
             return treeops.cheb_smooth(lvl_ops[k], lvl_pc[k], emin, emax,
-                                       cfg.cheb_its, b, x0v)
+                                       cfg.cheb_its, b, x0v,
+                                       unroll=(k < nlev - 1))
 
         def restrict_k(k, r):
             """Residual transfer from level k to k-1."""
@@ -776,17 +849,26 @@ def make_abf_solver(cfg):
 
         def vcycle(k, b):
             """PCMG multiplicative V-cycle from zero initial guess
-            (precond_mg.PCMG semantics)."""
+            (precond_mg.PCMG semantics). Mid-level iterates live in the
+            merged lane layout; transfers see the (.., x, nd) form."""
             if k == 0:
                 return coarse_solve(b)
-            x = smooth(k, b, treeops.tzeros_like(b))
-            r = treeops.tsub(b, lvl_ops[k](x))
-            xc = vcycle(k - 1, restrict_k(k, r))
-            x = treeops.taxpy(1.0, prolong_k(k, xc), x)
-            return smooth(k, b, x)
+            if k == nlev - 1:
+                x = smooth(k, b, treeops.tzeros_like(b))
+                r = treeops.tsub(b, lvl_ops[k](x))
+                xc = vcycle(k - 1, restrict_k(k, r))
+                x = treeops.taxpy(1.0, prolong_k(k, xc), x)
+                return smooth(k, b, x)
+            bm = merge(b)
+            xm = smooth(k, bm, jnp.zeros_like(bm))
+            rm = bm - lvl_ops[k](xm)
+            xc = vcycle(k - 1, restrict_k(k, unmerge(rm)))
+            xm = xm + merge(prolong_k(k, xc))
+            return unmerge(smooth(k, bm, xm))
 
         def mg_pc(r):
-            return vcycle(nlev - 1, r)
+            with jax.default_matmul_precision(cfg.pc_matmul_precision):
+                return vcycle(nlev - 1, r)
 
         # --- u-block GCR (abf.opts:5-6) -----------------------------------
         gcr = treeops.make_gcr(fineA, mg_pc, restart=cfg.gcr_restart,
@@ -804,9 +886,10 @@ def make_abf_solver(cfg):
             return inv_dp * pg
 
         def p_solve(bp):
-            return treeops.cheb_smooth(p_mult, p_pc, p_emin, p_emax,
-                                       cfg.p_cheb_its, bp,
-                                       jnp.zeros_like(bp))
+            with jax.default_matmul_precision(cfg.pc_matmul_precision):
+                return treeops.cheb_smooth(p_mult, p_pc, p_emin, p_emax,
+                                           cfg.p_cheb_its, bp,
+                                           jnp.zeros_like(bp))
 
         # --- fieldsplit Schur UPPER (exSaddle.c:313-318) -------------------
         def pc_apply(t):

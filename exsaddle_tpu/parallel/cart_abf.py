@@ -127,6 +127,10 @@ def assemble_host_local(part, ctx, bc_idx, P_f, grids, lame=False,
 
     sv_stack = None
     ps_stack = np.zeros(stack + (nel_loc, eta_g.shape[1]))
+    # A22 factored weights (Lame only): w_q detJp / lambda per element;
+    # a (1, 1) zero block per device for Stokes (matfree's lame sentinel)
+    fl_stack = (np.zeros(stack + (nel_loc, eta_g.shape[1])) if lame
+                else np.zeros(stack + (1, 1)))
 
     # global element index grid (x-fastest) for box slicing
     el_grid = np.arange(mesh.nel).reshape(tuple(reversed(mesh.m_el)))
@@ -175,6 +179,8 @@ def assemble_host_local(part, ctx, bc_idx, P_f, grids, lame=False,
         sv_stack[dev_idx] = sv
         if lame:
             inv = 1.0 / coeff["lambda"] + 1.0 / coeff["mu"]
+            fl_stack[dev_idx] = ((lfes.wq[None, :] * lfes.detJ_p)
+                                 / coeff["lambda"])
         else:
             inv = 1.0 / coeff["eta"]
         ps_stack[dev_idx] = -(lfes.wq[None, :] * lfes.detJ_p) * inv
@@ -220,11 +226,13 @@ def assemble_host_local(part, ctx, bc_idx, P_f, grids, lame=False,
         sv_stack = np.zeros(stack + (nel_loc, eta_g.shape[1] * ncomp))
     return {"diag_u": diag_u, "A1": A1_acc, "Mp": Mp_acc, "dmp": dmp,
             "eta_g": eta_g, "pscale_g": pscale_g,
-            "sv_stack": sv_stack, "ps_stack": ps_stack}
+            "sv_stack": sv_stack, "ps_stack": ps_stack,
+            "fl_stack": fl_stack}
 
 
 def build_cart_abf(part, ctx, bc_idx, bc_vals, lame=False,
-                   dtype=jnp.float64, nlevels=3, cfg_kw=None):
+                   dtype=jnp.float64, nlevels=3, cfg_kw=None,
+                   multihost=None):
     """Per-shard setup over a CartPartition.
 
     Per device box: ghost-ring coefficient projection, factored operator
@@ -232,6 +240,12 @@ def build_cart_abf(part, ctx, bc_idx, bc_vals, lame=False,
     diagonal + Galerkin/Schur contributions. Global accumulations (L-2
     Galerkin matrix, Mp, diagonals) emulate the reference's MatAssembly
     stash exchange (femixedspace.c:2624-2625).
+
+    multihost: optional multihost.HostComm. When given, this process
+    assembles ONLY its own element boxes (multihost.local_boxes under the
+    host-partition layout) and the additive setup partials are summed
+    across processes -- sparse partials (A1, Mp) ride as their dense
+    block-stencil form, which has a host-independent shape.
 
     Returns (dcfg, ddata, setup)."""
     import scipy.sparse as sp
@@ -244,10 +258,6 @@ def build_cart_abf(part, ctx, bc_idx, bc_vals, lame=False,
     from exsaddle_tpu.precond_mg import (Prolongation,
                                          galerkin_coarse_operators)
 
-    if lame:
-        raise NotImplementedError(
-            "cartesian distributed ABF covers the Stokes flagship "
-            "(abf.opts); Lame runs use the slab path or host solvers")
     assert nlevels >= 3, "cartesian ABF needs >= 3 MG levels"
     mesh = part.mesh
     nd = mesh.ndim
@@ -273,7 +283,27 @@ def build_cart_abf(part, ctx, bc_idx, bc_vals, lame=False,
     # fine -> L-2 interpolation (global CSR, setup only)
     P_f = Prolongation(grids[-2], grids[-1], nd).to_scipy()
 
-    acc = assemble_host_local(part, ctx, bc_idx, P_f, grids, lame=lame)
+    if multihost is not None:
+        from exsaddle_tpu.parallel.multihost import local_boxes
+        from exsaddle_tpu.abf import csr_from_stencil
+        boxes = local_boxes(part, multihost.process_id, multihost.n_hosts)
+        acc = assemble_host_local(part, ctx, bc_idx, P_f, grids,
+                                  lame=lame, boxes=boxes)
+        # additive allreduce of the per-host partials (the MatAssembly
+        # stash exchange, femixedspace.c:2624-2625); every box is written
+        # by exactly one host so the dense sums are exact
+        red = multihost.allreduce_dense
+        for key in ("diag_u", "dmp", "eta_g", "pscale_g",
+                    "sv_stack", "ps_stack", "fl_stack"):
+            acc[key] = red(acc[key], key)
+        W1p = stencil_from_csr(acc["A1"], lvl_grids[-2], nd)
+        acc["A1"] = csr_from_stencil(red(W1p, "A1_stencil"),
+                                     lvl_grids[-2], nd)
+        Mpp = stencil_from_csr(acc["Mp"], tuple(reversed(mesh.nn_p)), 1)
+        acc["Mp"] = csr_from_stencil(red(Mpp, "Mp_stencil"),
+                                     tuple(reversed(mesh.nn_p)), 1)
+    else:
+        acc = assemble_host_local(part, ctx, bc_idx, P_f, grids, lame=lame)
     diag_u = acc["diag_u"]
     A1_acc = acc["A1"]
     Mp_acc = acc["Mp"]
@@ -403,6 +433,7 @@ def build_cart_abf(part, ctx, bc_idx, bc_vals, lame=False,
     ddata = {
         "scale_visc": cast(sv_stack),
         "pscale": cast(ps_stack),
+        "facp_lam": cast(acc["fl_stack"]),
         "ks": [cast(a) for a in shard_u_parity(keep_u)],
         "ms": [cast(a) for a in shard_u_parity(bc[:nu])],
         "kp": cast(shard_p(1.0 - bc[nu:])),
@@ -484,7 +515,7 @@ def make_cart_abf_solver(dcfg):
         op = ParityMatFreeOperator(
             Bs=dd["Bs"], Dm=dd["Dm"], Np=dd["Np"],
             scale_visc=dd["scale_visc"], fac=dd["fac"],
-            facp_lam=jnp.zeros((1, 1), dtype),
+            facp_lam=dd["facp_lam"],
             keep=jnp.zeros((0,), dtype), bc_mask=jnp.zeros((0,), dtype),
             m_el=mloc, nn_u=tuple(2 * m + 1 for m in mloc),
             nn_p=nn_p_loc, nu=0, np_=0,
@@ -675,11 +706,12 @@ def _unstrip(t, nd):
 class CartABFSolver:
     """Host-facing distributed ABF over a cartesian device mesh."""
 
-    _SHARDED = {"scale_visc", "pscale", "ks", "ms", "kp", "mp",
+    _SHARDED = {"scale_visc", "pscale", "facp_lam", "ks", "ms", "kp", "mp",
                 "inv_diag_fine", "inv_diag_l1", "inv_diag_p", "W1"}
 
     def __init__(self, part, ctx, bc_idx, bc_vals, devices, lame=False,
-                 dtype=jnp.float64, nlevels=3, check_vma=True, **cfg_kw):
+                 dtype=jnp.float64, nlevels=3, check_vma=True,
+                 multihost=None, **cfg_kw):
         self.part = part
         self.mesh = part.mesh
         self.dtype = dtype
@@ -688,7 +720,7 @@ class CartABFSolver:
         with jax.default_device(cpu):
             self.dcfg, ddata, self.setup = build_cart_abf(
                 part, ctx, bc_idx, bc_vals, lame=lame, dtype=dtype,
-                nlevels=nlevels, cfg_kw=cfg_kw)
+                nlevels=nlevels, cfg_kw=cfg_kw, multihost=multihost)
         self.dmesh = part.device_mesh(devices)
         spec = part.specs()
         shard = NamedSharding(self.dmesh, spec)

@@ -116,9 +116,12 @@ def build_dist_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, ndev, lame=False,
         # sharded L-2 Galerkin block stencil (stencils[-1] is the L-2
         # level): mloc+1 planes per device, interface plane redundant
         "W1": stack_grid(data["stencils"][-1]),
+        # Lame A22 weights are per-element (sharded); Stokes carries the
+        # (1, 1) zero sentinel per device
+        "facp_lam": (stack_el(op.facp_lam) if lame
+                     else np.zeros((ndev, 1, 1))),
         # replicated
         "Bs": op.Bs, "Dm": op.Dm, "Np": op.Np, "fac": op.fac,
-        "facp_lam": op.facp_lam,
         "coarse_inv": data["coarse_inv"],
         "stencils": data["stencils"][:-1],
         "inv_diag_repl": data["inv_diag_lvls"][:-1],
@@ -369,7 +372,7 @@ class DistABFSolver:
     """Host-facing distributed ABF: setup + shard_map-jitted solve."""
 
     # ddata keys that carry a leading device axis
-    _SHARDED = {"scale_visc", "pscale", "ks", "ms", "kp", "mp",
+    _SHARDED = {"scale_visc", "pscale", "facp_lam", "ks", "ms", "kp", "mp",
                 "inv_diag_fine", "inv_diag_l1", "inv_diag_p", "W1"}
 
     def __init__(self, mesh, fes, coeff_qp, bc_idx, bc_vals, devices,

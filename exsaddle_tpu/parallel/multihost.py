@@ -98,6 +98,39 @@ def host_partition(mesh, n_hosts, chips_per_host, chip_shape=None):
     return CartPartition(mesh, dev_shape)
 
 
+class HostComm:
+    """Multi-host reduction context for per-shard setup.
+
+    Owns the process identity (which element boxes this host assembles,
+    via `local_boxes`) and the cross-host summation of the additive setup
+    partials -- the TPU-native equivalent of PETSc's MatAssemblyBegin/End
+    stash exchange (femixedspace.c:2624-2625). The default implementation
+    uses the jax multi-process runtime (`process_allgather` over DCN) and
+    degenerates to the identity in single-process runs; tests inject an
+    `allreduce(arr, tag)` callable to drive the same constructor path on
+    a simulated multi-host topology.
+    """
+
+    def __init__(self, n_hosts=None, process_id=None, allreduce=None):
+        self.n_hosts = jax.process_count() if n_hosts is None else n_hosts
+        self.process_id = (jax.process_index() if process_id is None
+                           else process_id)
+        self._allreduce = allreduce
+
+    def allreduce_dense(self, arr, tag):
+        """Sum a dense numpy partial across hosts. `tag` names the
+        quantity (stable across hosts) so injected test reducers can match
+        partials without relying on call order or array shape."""
+        if self._allreduce is not None:
+            return self._allreduce(arr, tag)
+        if self.n_hosts == 1:
+            return arr
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        gathered = multihost_utils.process_allgather(jnp.asarray(arr))
+        return np.asarray(gathered).sum(axis=0)
+
+
 def local_boxes(part, process_id, n_hosts):
     """The (ix, iy[, iz]) element boxes owned by `process_id`'s devices
     under a `host_partition` layout (host axis = outermost dim). Used to

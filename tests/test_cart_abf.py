@@ -93,6 +93,38 @@ def test_per_shard_setup_is_local(single_448):
     assert np.asarray(ddata["pscale"]).shape == (4, 2, 1, nel_loc, 27)
 
 
+def test_cart_abf_lame_3d():
+    """VERDICT r3 item 5: 3D Lame runs on the cartesian distributed path
+    and matches the single-device jitted ABFSolver (identical iteration
+    counts, 1e-10 agreement) on the virtual 8-device mesh.
+    Match: Makefile:438-494 (Lame 3D parallel cases)."""
+    opts = Options.from_args(["-model", "6", "-lambda1", "10"])
+    ctx = emodels.ModelContext(opts, 3, lame=True, log=lambda *a, **k: None)
+    mesh = SaddleMesh(3, (4, 4, 8), (1.0, 1.0, 1.0))
+    fes = FESpace(mesh)
+    bc_idx, bc_vals = emodels.create_bc_list(ctx, mesh)
+    c = emodels.evaluate_coefficients(
+        ctx, fes.qp_coords.reshape(-1, 3)).reshape(mesh.nel, fes.nqp, -1)
+    coeff = driver._qp_dict(ctx, interp_q1_to_qp(
+        fes, project_qp_to_q1(fes, c)))
+    slv = ABFSolver(mesh, fes, coeff, bc_idx, bc_vals, lame=True,
+                    dtype=jnp.float64, nlevels=3)
+    F = _rhs(mesh, fes, coeff, bc_idx, bc_vals, slv.setup["rhs_diri"])
+    res1 = slv.solve(F)
+    assert res1["reason"] == "CONVERGED_RTOL"
+
+    part = CartPartition(mesh, (2, 2, 2))
+    cslv = CartABFSolver(part, ctx, bc_idx, bc_vals, jax.devices()[:8],
+                         lame=True, dtype=jnp.float64, nlevels=3,
+                         check_vma=True)
+    resd = cslv.solve(F)
+    assert resd["state"] == 2
+    assert resd["its"] == res1["its"]
+    diff = (np.linalg.norm(resd["x"] - res1["x"])
+            / np.linalg.norm(res1["x"]))
+    assert diff < 1e-10, diff
+
+
 def test_cart_rhs_diri_matches_global(single_448):
     ctx, mesh, bc_idx, bc_vals, _, _ = single_448
     fes = FESpace(mesh)
