@@ -366,7 +366,8 @@ def _esteig_bounds(apply_fn, diag, n, transform=(0.0, 0.2, 0.0, 1.1)):
     def Aop(v):
         return np.asarray(apply_fn(v))
 
-    b = np.sin(np.arange(n, dtype=np.float64))
+    from exsaddle_tpu.krylov import noisy_vector
+    b = noisy_vector(n)
     max_it = 10
     rtol = 1e-12
     haptol = 1e-30

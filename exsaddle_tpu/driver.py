@@ -156,6 +156,55 @@ def _make_saddle_matshell(lv, lame, dm_info=None, names=("Asaddle",
     return amat
 
 
+def _abf_options_match(opts, prefix="saddle_"):
+    """True when the options tree requests the abf.opts ABF configuration
+    (fgmres / fieldsplit-Schur / u: gcr + Galerkin MG + chebyshev-jacobi /
+    p: preonly) -- the configuration the fully-jitted ABFSolver
+    implements."""
+    return (opts.get_bool("fs", False)
+            and opts.get_string("ksp_type", "gmres",
+                                prefix=prefix) == "fgmres"
+            and opts.get_string("fieldsplit_u_ksp_type", "gmres",
+                                prefix=prefix) == "gcr"
+            and opts.get_string("fieldsplit_u_pc_type", "ilu",
+                                prefix=prefix) == "mg"
+            and opts.get_bool("fieldsplit_u_pc_mg_galerkin", False,
+                              prefix=prefix)
+            and opts.get_string("fieldsplit_u_mg_levels_ksp_type",
+                                "chebyshev",
+                                prefix=prefix) == "chebyshev"
+            and opts.get_string("fieldsplit_p_ksp_type", "preonly",
+                                prefix=prefix) == "preonly")
+
+
+class _JittedKSPShim:
+    """Duck-typed stand-in for the host KSP in the jitted dispatch path:
+    carries .solve / .cfg so -twosolves and the result plumbing work
+    unchanged."""
+
+    def __init__(self, slv, monitor, reason_log, prefix):
+        from exsaddle_tpu.krylov import KSPConfig
+        self._slv = slv
+        self.cfg = KSPConfig(type="fgmres", prefix=prefix)
+        self.cfg.monitor = monitor
+        self.cfg.converged_reason_log = reason_log
+        self.pc = None
+
+    def solve(self, F):
+        from exsaddle_tpu.krylov import KSPResult
+        res = self._slv.solve(np.asarray(F))
+        if self.cfg.monitor is not None:
+            for i, rn in enumerate(res["history"]):
+                self.cfg.monitor(i, rn)
+        out = KSPResult(jnp.asarray(res["x"]), res["its"],
+                        res["reason"], res["rnorm"])
+        if self.cfg.converged_reason_log is not None:
+            from exsaddle_tpu.krylov import converged_reason_message
+            self.cfg.converged_reason_log(
+                converged_reason_message(self.cfg.prefix, out))
+        return out
+
+
 def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
     """The reference's SaddleSolve_Q2Q1: returns a results dict."""
     mx = opts.get_int("mx", 4)
@@ -228,14 +277,61 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
         levels.append(lv)
 
     _coefficient_pipeline(levels, ctx)
-
-    # --- assembly per level (exSaddle.c:265-270) ---
-    for k, lv in enumerate(levels):
-        elm = assemble_element_matrices(lv.fes, lv.coeff_qp, lame=lame)
-        lv.op, lv.rhs_diri, _, _ = apply_dirichlet_elimination(
-            lv.mesh, elm, lv.bc_idx, lv.bc_vals)
     fine = levels[-1]
     mesh = fine.mesh
+    prefix = "saddle_"
+
+    # --- one-binary dispatch (exSaddle.c:124-566 is ONE executable whose
+    # options select the solver): when the options tree requests the
+    # abf.opts ABF configuration and no host-KSP introspection flag is
+    # set, run the fully-jitted ABFSolver -- on an accelerator by
+    # default, anywhere with -tpu 1, never with -tpu 0. The jitted
+    # p-block is the Chebyshev stand-in for serial bjacobi+ILU(0)
+    # (abf.py module docstring), so residual histories are equivalent-
+    # quality, not bit-identical to the host stack's. ---
+    introspect = (opts.get_bool("ksp_view", False, prefix=prefix)
+                  or dump_pc or dump_pc_op or dump_smoother
+                  or dump_mpscaled or dump_operator or nullspace_flag
+                  or nranks > 1)
+    tpu_flag = opts.get_bool("tpu", None)
+    use_jitted = (_abf_options_match(opts) and not introspect
+                  and nlevels == 1)
+    if tpu_flag is None:
+        use_jitted = use_jitted and jax.default_backend() != "cpu"
+    else:
+        use_jitted = use_jitted and bool(tpu_flag)
+
+    # --- assembly per level (exSaddle.c:265-270); the jitted path builds
+    # its factored operator itself and never needs element batches ---
+    if not use_jitted:
+        for k, lv in enumerate(levels):
+            elm = assemble_element_matrices(lv.fes, lv.coeff_qp, lame=lame)
+            lv.op, lv.rhs_diri, _, _ = apply_dirichlet_elimination(
+                lv.mesh, elm, lv.bc_idx, lv.bc_vals)
+
+    ksp = None
+    amat = None
+    if use_jitted:
+        from exsaddle_tpu.abf import ABFSolver
+        from exsaddle_tpu.krylov import make_monitor_short
+        nlv_u = opts.get_int("fieldsplit_u_pc_mg_levels", 3, prefix=prefix)
+        slv = ABFSolver(
+            mesh, fine.fes, fine.coeff_qp, fine.bc_idx, fine.bc_vals,
+            lame=lame, dtype=jnp.float64, nlevels=nlv_u,
+            restart=opts.get_int("ksp_gmres_restart", 30, prefix=prefix),
+            rtol=opts.get_real("ksp_rtol", 1e-5, prefix=prefix),
+            max_it=opts.get_int("ksp_max_it", 10000, prefix=prefix),
+            gcr_rtol=opts.get_real("fieldsplit_u_ksp_rtol", 1e-2,
+                                   prefix=prefix),
+            cheb_its=opts.get_int("fieldsplit_u_mg_levels_ksp_max_it", 8,
+                                  prefix=prefix))
+        fine.rhs_diri = slv.setup["rhs_diri"]
+        monitor = (make_monitor_short(prefix, log=log)
+                   if opts.get_bool("ksp_monitor_short", False,
+                                    prefix=prefix) else None)
+        reason_log = (log if opts.get_bool("ksp_converged_reason", False,
+                                           prefix=prefix) else None)
+        ksp = _JittedKSPShim(slv, monitor, reason_log, prefix)
 
     # --- RHS (exSaddle.c:273-282) ---
     f1, f2 = assemble_rhs(fine.fes, fine.coeff_qp["Fu"], fine.coeff_qp["Fp"])
@@ -253,26 +349,27 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
     stage_t["Setup"] = _time.perf_counter() - _t0
     _t0 = _time.perf_counter()
 
-    # --- solver tree ---
-    dm_info = {"nranks": nranks,
-               "overlap": opts.get_int("dmdafe_overlap", 0)}
-    amat = _make_saddle_matshell(fine, lame, dm_info=dm_info)
-    prefix = "saddle_"
-    pc_forced = None
-    pc_default = "ilu"
-    if fs:
-        pc_default = "fieldsplit"
-    if mg:
-        if opts.get_string("pc_type", None, prefix=prefix) is None:
-            pc_forced = _build_saddle_mg(opts, prefix, levels, lame,
-                                         fs_coarse, log=log,
-                                         dm_info=dm_info)
-        # else: options select the top PC (none of the reference tests do)
+    # --- solver tree (host path) ---
+    if not use_jitted:
+        dm_info = {"nranks": nranks,
+                   "overlap": opts.get_int("dmdafe_overlap", 0)}
+        amat = _make_saddle_matshell(fine, lame, dm_info=dm_info)
+        pc_forced = None
+        pc_default = "ilu"
+        if fs:
+            pc_default = "fieldsplit"
+        if mg:
+            if opts.get_string("pc_type", None, prefix=prefix) is None:
+                pc_forced = _build_saddle_mg(opts, prefix, levels, lame,
+                                             fs_coarse, log=log,
+                                             dm_info=dm_info)
+            # else: options select the top PC (none of the reference
+            # tests do)
 
-    ksp = sc.make_ksp(opts, prefix, amat,
-                      ksp_defaults=KSPConfig(type="gmres"),
-                      pc_default=pc_default, pc_forced=pc_forced,
-                      nullspace=nullvec, log=log)
+        ksp = sc.make_ksp(opts, prefix, amat,
+                          ksp_defaults=KSPConfig(type="gmres"),
+                          pc_default=pc_default, pc_forced=pc_forced,
+                          nullspace=nullvec, log=log)
     stage_t["SolverSetup"] = _time.perf_counter() - _t0
     _t0 = _time.perf_counter()
     result = ksp.solve(F)

@@ -268,8 +268,12 @@ def solve_stokes_3d_coupled(mx, my, mz, opts, log=print):
         view_ksp(ksp, log=log)
     if opts.get_bool("write_pvts", False):
         from exsaddle_tpu import io as esio
-        esio.write_vts_interleaved("ex42-up.vts", prob.nn, np.asarray(X),
-                                   ("Vx", "Vy", "Vz", "P"), log=log)
+        # DAView3DPVTS (ex42mod.c:1322): one .pvts master + per-rank .vts
+        # pieces; virtual ranks via -pvts_ranks (default 1 = serial piece)
+        esio.write_pvts_interleaved("ex42-up", prob.nn, np.asarray(X),
+                                    ("Vx", "Vy", "Vz", "P"),
+                                    nranks=opts.get_int("pvts_ranks", 1),
+                                    log=log)
     return {"X": X, "result": res, "prob": prob, "ksp": ksp}
 
 

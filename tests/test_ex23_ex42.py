@@ -79,6 +79,42 @@ def test_ex42_sinker_and_block_monitor_format():
     assert sum(last) < 1e-4 * max(sum(first), 1e-30)
 
 
+def test_ex42_pvts_multipiece_writer(tmp_path, monkeypatch):
+    """VERDICT r3 item 10: the DAView3DPVTS multi-piece parallel writer
+    (ex42mod.c:1033-1337) -- one .pvts master + per-virtual-rank .vts slab
+    pieces whose extents tile the whole grid and whose values round-trip."""
+    import re
+    monkeypatch.chdir(tmp_path)
+    opts = Options.from_args(
+        "-model 0 -write_pvts -pvts_ranks 3 "
+        "-stokes_fieldsplit_u_ksp_type preonly "
+        "-stokes_fieldsplit_u_pc_type lu "
+        "-stokes_fieldsplit_p_ksp_type preonly "
+        "-stokes_fieldsplit_p_pc_type jacobi".split())
+    r = solve_stokes_3d_coupled(4, 4, 6, opts, log=lambda *a, **k: None)
+    master = tmp_path / "ex42-up.pvts"
+    assert master.exists()
+    txt = master.read_text()
+    exts = re.findall(r'<Piece Extent="([\d -]+)" Source="([^"]+)"', txt)
+    assert len(exts) == 3
+    nn = r["prob"].nn
+    assert f'WholeExtent="0 {nn[0]-1} 0 {nn[1]-1} 0 {nn[2]-1}"' in txt
+    # pieces tile the z axis with shared interface planes
+    zlims = [tuple(int(v) for v in e.split()[4:6]) for e, _ in exts]
+    assert zlims[0][0] == 0 and zlims[-1][1] == nn[2] - 1
+    for (a, b), (c, d) in zip(zlims, zlims[1:]):
+        assert b == c
+    # values round-trip: reassemble P from pieces == solution pressure
+    X = np.asarray(r["X"])
+    P = X[3::4].reshape(nn[2], nn[1], nn[0])
+    for (e, src), (z0, z1) in zip(exts, zlims):
+        piece = (tmp_path / src).read_text()
+        m = re.search(r'Name="P"[^>]*>\s*([^<]+)<', piece)
+        vals = np.fromstring(m.group(1), sep=" ")
+        assert np.allclose(vals.reshape(z1 - z0 + 1, nn[1], nn[0]),
+                           P[z0:z1 + 1], atol=1e-6 * abs(P).max() + 1e-12)
+
+
 def test_ex42_stabilization_matters():
     """Without the Bochev term the Q1-Q1 pressure block is zero (the
     discretization is unstable); with it the p-p block is nonzero and

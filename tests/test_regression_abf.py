@@ -16,7 +16,8 @@ def test_exSaddle2d_ar_1():
         "exSaddle2d_ar_1",
         "-options_file abf.opts -saddle_ksp_monitor_short -model 0 -mx 32 "
         "-my 32 -options_left -size_y 0.1",
-        ndim=2, monitor_mode="loose", cwd=ABF)
+        ndim=2, monitor_mode="loose", cwd=ABF,
+        hist_rtol=0.06, its_slack=1)
 
 
 def test_exSaddle3d_ar_1():
@@ -25,7 +26,8 @@ def test_exSaddle3d_ar_1():
         "-options_file abf.opts -saddle_ksp_monitor_short -model 0 -mx 6 "
         "-my 6 -mz 6 -options_left -saddle_fieldsplit_u_ksp_converged_reason "
         "-size_z 0.1",
-        ndim=3, monitor_mode="loose", cwd=ABF)
+        ndim=3, monitor_mode="loose", cwd=ABF,
+        hist_rtol=0.06, its_slack=1)
 
 
 def test_exSaddle3d_pseudoice_1():
@@ -35,21 +37,24 @@ def test_exSaddle3d_pseudoice_1():
 
     - 'eigenvalues estimate via gmres min/max' -- the raw Ritz extremes of
       a 10-iteration GMRES esteig probe on PETSc's deterministic noisy RHS
-      (KSPSetNoisy_Private). Our probe (b_i = sin(i) in the reference dof
-      ordering -- the real part of PETSc's complex-build noisy vector)
-      reproduces emax to <=0.6% on both levels. emin is the smallest Ritz
-      value of an UNCONVERGED 10-step Arnoldi whose true lambda_min is
-      ~3e-7: it is pure probe noise (measured spread 0.017..0.11 across
-      candidate deterministic noise vectors vs refs 0.059/0.068) and is
-      compared at rtol 0.65. This is not a weakening of the solver check:
-      BOTH consequential Chebyshev bounds derive from emax alone
-      (used-min = 0.2*emax, used-max = 1.1*emax; transform 0,0.2,0,1.1)
-      and are pinned by the next line at rtol 0.02.
-    - 'eigenvalue estimates used' -- derived from emax; matches to ~0.7%,
+      (KSPSetNoisy_Private; exact formula PETSc-internal and empirically
+      unrecoverable -- see krylov.noisy_vector's documented 40-candidate
+      sweep). With the sin(i) stand-in, emax matches to <= 0.6% on both
+      levels; emin is the bottom of an UNCONVERGED 10-step Arnoldi whose
+      true lambda_min is ~3e-7, i.e. pure probe noise (candidate spread
+      0.007..0.15 vs refs 0.059/0.068), compared at rtol 0.65. Not a
+      weakening of the solver check: BOTH consequential Chebyshev bounds
+      derive from emax alone (used-min = 0.2*emax, used-max = 1.1*emax;
+      transform 0,0.2,0,1.1) and are pinned by the next line at rtol 0.02.
+      Closer-Ritz candidates (glibc rand stream, sin(i^2): emin to 1-7%)
+      shifted the bounds enough to change the descent path (history
+      deviations to ~40%, 21 its) and were rejected: behavior parity is
+      the binding contract.
+    - 'eigenvalue estimates used' -- derived from emax; matches to ~0.6%,
       compared at rtol 0.02.
 
-    Monitor history: measured deviation <= 3.9% at every iteration (21 vs
-    20 its from the same esteig noise difference); bounds set at 0.06/1."""
+    Monitor history: measured deviation <= 3.9% at every iteration with
+    the reference's exact 20-iteration count; bounds set at 0.06/1."""
     check_against_ref(
         "exSaddle3d_pseudoice_1",
         "-saddle_ksp_view -options_file abf.opts -model 11 -size_x 0.1 "
