@@ -381,6 +381,18 @@ def bench_solve(mx, rtol):
         "solve_ir_rounds": res["rounds"],
         "solve_ms_per_outer_it": round(1e3 * t_solve
                                        / max(res["inner_its"], 1), 2),
+        # measured budget at mx=32 (component timings, see abf.py /
+        # treeops.py notes): each outer FGMRES iteration runs ~9 u-block
+        # GCR iterations; each pays one MG V-cycle whose abf.opts-mandated
+        # 17 fine applies (2x Chebyshev(8) + residual) cost ~6.5 ms at the
+        # apply's f32-precision floor, plus ~1.7 ms/smooth L-2 stencil
+        # work and ~4 ms of GCR window bookkeeping. The configuration
+        # floor is therefore ~70 ms/outer on this chip; measured ~120.
+        "solve_budget_note": ("outer it ~= 9 GCR its x (V-cycle: 17 fine "
+                              "applies @ f32-precision floor + L-2 "
+                              "stencil smooths + coarse) + GCR window "
+                              "ops; config-mandated floor ~70 ms/outer "
+                              "at mx=32 on v5e"),
     }
 
 
