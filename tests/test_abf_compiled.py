@@ -112,16 +112,18 @@ def test_abf_jitted_matches_host_quality():
 @pytest.mark.slow
 def test_abf_bench_scale_anchor_mx16():
     """VERDICT r3 item 7: pin the bench-scale convergence behavior so perf
-    work cannot silently trade iterations for seconds. mx=16 pseudoice,
-    f32 jitted + mixed-precision IR to true f64 rtol 1e-8: measured 37
-    inner its / 3 IR rounds on both CPU and the v5e -- assert within +-2
-    IR rounds and a modest inner-iteration band."""
+    work cannot silently trade iterations for seconds. mx=16 pseudoice in
+    the bench configuration (f32 jitted, inner FGMRES rtol 1e-3,
+    mixed-precision IR to true f64 rtol 1e-8): measured 30 inner its /
+    4 IR rounds on both CPU and the v5e -- assert within +-2 IR rounds
+    and a modest inner-iteration band."""
     slv, F = _setup_case(3, (16, 16, 16), (0.1, 1.0, 1.0), 11,
-                         nlevels=3, ir=True, dtype=jnp.float32)
+                         nlevels=3, ir=True, dtype=jnp.float32,
+                         rtol=1e-3)
     res = slv.solve_ir(F, rtol=1e-8)
     assert res["converged"]
-    assert abs(res["rounds"] - 3) <= 2
-    assert 25 <= res["inner_its"] <= 50, res["inner_its"]
+    assert abs(res["rounds"] - 4) <= 2
+    assert 20 <= res["inner_its"] <= 45, res["inner_its"]
 
 
 def test_abf_four_levels_stencil_path():
