@@ -125,6 +125,37 @@ def test_cart_abf_lame_3d():
     assert diff < 1e-10, diff
 
 
+def test_cart_abf_2d():
+    """2D cartesian distributed ABF (the reference's 2D 2-rank family,
+    e.g. exSaddle2d_ar at mpiexec -n 2): (2,2) device grid matches the
+    single-device solve exactly."""
+    opts = Options.from_args(["-model", "0"])
+    ctx = emodels.ModelContext(opts, 2, lame=False,
+                               log=lambda *a, **k: None)
+    mesh = SaddleMesh(2, (8, 8), (1.0, 0.1))
+    fes = FESpace(mesh)
+    bc_idx, bc_vals = emodels.create_bc_list(ctx, mesh)
+    c = emodels.evaluate_coefficients(
+        ctx, fes.qp_coords.reshape(-1, 2)).reshape(mesh.nel, fes.nqp, -1)
+    coeff = driver._qp_dict(ctx, interp_q1_to_qp(
+        fes, project_qp_to_q1(fes, c)))
+    slv = ABFSolver(mesh, fes, coeff, bc_idx, bc_vals,
+                    dtype=jnp.float64, nlevels=3)
+    F = _rhs(mesh, fes, coeff, bc_idx, bc_vals, slv.setup["rhs_diri"])
+    res1 = slv.solve(F)
+    assert res1["reason"] == "CONVERGED_RTOL"
+
+    part = CartPartition(mesh, (2, 2))
+    cslv = CartABFSolver(part, ctx, bc_idx, bc_vals, jax.devices()[:4],
+                         dtype=jnp.float64, nlevels=3, check_vma=True)
+    resd = cslv.solve(F)
+    assert resd["state"] == 2
+    assert resd["its"] == res1["its"]
+    diff = (np.linalg.norm(resd["x"] - res1["x"])
+            / np.linalg.norm(res1["x"]))
+    assert diff < 1e-10, diff
+
+
 def test_cart_rhs_diri_matches_global(single_448):
     ctx, mesh, bc_idx, bc_vals, _, _ = single_448
     fes = FESpace(mesh)

@@ -76,3 +76,33 @@ def test_dist_abf_2dev_2d():
     diff = np.linalg.norm(rd["x"] - r1["x"]) / np.linalg.norm(r1["x"])
     assert diff < 1e-10, diff
     assert rd["its"] == r1["its"]
+
+
+def test_dist_abf_lame_3d():
+    """3D Lame over the slab decomposition: the sharded A22 weights
+    (facp_lam) must reproduce the single-device solve exactly.
+    Match: Makefile:438-494 (Lame 3D parallel cases)."""
+    from exsaddle_tpu import models as emodels
+    from exsaddle_tpu.options import Options
+    opts = Options.from_args(["-model", "6", "-lambda1", "10"])
+    ctx = emodels.ModelContext(opts, 3, lame=True,
+                               log=lambda *a, **k: None)
+    mesh = SaddleMesh(3, (4, 4, 4), (1.0, 1.0, 1.0))
+    fes = FESpace(mesh)
+    bc_idx, bc_vals = emodels.create_bc_list(ctx, mesh)
+    c = emodels.evaluate_coefficients(
+        ctx, fes.qp_coords.reshape(-1, 3)).reshape(mesh.nel, fes.nqp, -1)
+    coeff = driver._qp_dict(ctx, interp_q1_to_qp(
+        fes, project_qp_to_q1(fes, c)))
+    slv = ABFSolver(mesh, fes, coeff, bc_idx, bc_vals, lame=True,
+                    dtype=jnp.float64, nlevels=3)
+    F = _rhs(mesh, fes, coeff, bc_idx, bc_vals, slv.setup["rhs_diri"])
+    r1 = slv.solve(F)
+    assert r1["reason"] == "CONVERGED_RTOL"
+    dslv = DistABFSolver(mesh, fes, coeff, bc_idx, bc_vals,
+                         jax.devices()[:4], lame=True,
+                         dtype=jnp.float64, nlevels=3)
+    rd = dslv.solve(F)
+    diff = np.linalg.norm(rd["x"] - r1["x"]) / np.linalg.norm(r1["x"])
+    assert diff < 1e-10, diff
+    assert rd["its"] == r1["its"]
