@@ -100,7 +100,13 @@ def buf_dots(buf, t, mask):
     to keep a second (flat-major) layout of the Krylov buffer next to the
     tiled layout the in-loop dynamic_update_slice wants, and the per-
     iteration relayout copies dominated the jitted solve (measured 750 us
-    per buf_set at mx=20, ~45% of GCR iteration time)."""
+    per buf_set at mx=20, ~45% of GCR iteration time). Re-confirmed in
+    round 4 at mx=32: a full flat-window GCR variant (single (k, n)
+    matrices, GEMV dots, tree<->flat conversion at the mult/pc boundary)
+    won an isolated bookkeeping microbench 1.22 vs 2.04 ms/iteration but
+    DOUBLED the end-to-end solve (8.3 s vs 4.1 s) -- the per-iteration
+    unflatten of the iterate relays every parity leaf the operator then
+    gathers from."""
     parts = []
     for B, a in zip(jax.tree.leaves(buf), jax.tree.leaves(t)):
         parts.append(jnp.sum(B * a[None], axis=tuple(range(1, B.ndim))))
