@@ -212,7 +212,12 @@ def bench_apply(mx, inner, reps):
             dt = (time.perf_counter() - t0) / inner
             if dt > 2e-6:    # tunnel block_until_ready early-return guard
                 ts.append(dt)
-        return float(np.median(ts)) if ts else float("nan")
+        if not ts:
+            # fail loudly: a NaN here would flow into every published
+            # headline metric as a silently broken measurement
+            raise RuntimeError("all benchmark repetitions returned "
+                               "instantly (tunnel early-return)")
+        return float(np.median(ts))
 
     breakdown = {"power_rho": round(float(rho), 4),
                  "scaled_loop_final_norm": fin}

@@ -419,8 +419,8 @@ def _galerkin_l2_elements(mesh, P_f, Bs, s_flat, keep_e, bc_u):
     """Per-element Galerkin L-2 contributions of the BC-eliminated fine
     velocity block A00 = K (Bs^T diag(s) Bs) K + diag(bc).
 
-    Returns (A1e (nel, ncd, ncd), uc (nel, ncd)) with
-    sum_e scatter(A1e, uc) == P^T A00 P exactly: the interpolation row of
+    Returns A1e (nel, ncd, ncd), corner-ordered x-fastest, with
+    sum_e scatter(A1e) == P^T A00 P exactly: the interpolation row of
     any fine node inside an element is supported entirely on that
     element's corners (trilinear weights vanish on the others), and the
     diag(bc) term is folded in per element with 1/multiplicity weights on
@@ -440,18 +440,18 @@ def _galerkin_l2_elements(mesh, P_f, Bs, s_flat, keep_e, bc_u):
     corners = np.stack(np.meshgrid(
         *[np.arange(2)] * nd, indexing="ij"),
         -1)[..., ::-1].reshape(-1, nd)          # local corner x-fastest
-    cnode = egrid[:, None, :] + corners[None, :, :]
-    lin = cnode[..., 0]
+    # corner dofs of element 0 only (the P_loc extraction needs no other
+    # element: uniform grid)
+    lin0 = corners[:, 0].copy()
     mult = nn1[0]
     for d_ in range(1, nd):
-        lin = lin + cnode[..., d_] * mult
+        lin0 = lin0 + corners[:, d_] * mult
         mult *= nn1[d_]
-    uc = (lin[..., None] * nd
-          + np.arange(nd)[None, None, :]).reshape(nel, -1)
+    uc0 = (lin0[:, None] * nd + np.arange(nd)[None, :]).reshape(-1)
 
     # P restricted to element 0 (identical for every element on the
     # uniform grid)
-    P_loc = np.asarray(P_f[np.ix_(ue[0], uc[0])].todense())   # (nud, ncd)
+    P_loc = np.asarray(P_f[np.ix_(ue[0], uc0)].todense())     # (nud, ncd)
     C0 = Bs @ P_loc                                           # (nqpc, ncd)
     ncd = P_loc.shape[1]
 
@@ -483,7 +483,7 @@ def _galerkin_l2_elements(mesh, P_f, Bs, s_flat, keep_e, bc_u):
         blk = np.matmul(C.transpose(0, 2, 1) * s_flat[sel][:, None, :], C)
         blk += np.matmul(P_loc.T[None] * wbc[sel][:, None, :], P_loc[None])
         A1e[sel] = blk
-    return A1e, uc
+    return A1e
 
 
 def _stencil_from_l2_elements(A1e, m_el, nd):
@@ -642,8 +642,7 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
             return keep_u * y + bc_u * x
 
         P_f = prolongs[-1].to_scipy().tocsr()
-        A1e, uc = _galerkin_l2_elements(mesh, P_f, Bs, s_flat, keep_e,
-                                        bc_u)
+        A1e = _galerkin_l2_elements(mesh, P_f, Bs, s_flat, keep_e, bc_u)
         W1 = _stencil_from_l2_elements(A1e, mesh.m_el, nd)
         A1 = csr_from_stencil(W1, tuple(reversed(grids[-2])), nd)
         coarse_csrs = galerkin_coarse_operators(A1, prolongs[:-1]) + [A1]
@@ -749,9 +748,10 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
         "aux": aux,
         "inv_diag_fine": inv_diag_fine,
         "inv_diag_lvls": inv_diag_lvls,
-        "stencils": [cast(W) for W in stencils],
-        # merged (x, dof)-lane form for the single-device V-cycle (the
-        # W-form stays for the distributed builds, which shard it)
+        # merged (x, dof)-lane form: the ONLY stencil form the jitted
+        # single-device V-cycle reads; the W-form ships host-side in
+        # `setup` for the distributed builds (the L-2 W at mx=32 is
+        # ~35 MB -- putting it in `data` wasted that much HBM per solver)
         "stencils_m": [cast(stencil_to_merged(W)) for W in stencils],
         "coarse_inv": cast(coarse_inv),
         "bounds": [(cast(b[0]), cast(b[1])) for b in bounds],
@@ -767,7 +767,8 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
                     **(cfg_kw or {}))
     setup = {"mesh": mesh, "sop": sop, "rhs_diri": rhs_diri,
              "bc_mask": bc_mask, "x_bc": x_bc, "perm": perm, "iperm": iperm,
-             "A00_csr": A00_csr, "coarse_csrs": coarse_csrs, "Mp": Mp}
+             "A00_csr": A00_csr, "coarse_csrs": coarse_csrs, "Mp": Mp,
+             "stencils_w": stencils}
     return cfg, data, setup
 
 

@@ -93,11 +93,16 @@ class FESpace:
 
     @staticmethod
     def _translate_congruent(xu):
-        """True when sampled elements are translates of element 0 (uniform
-        box mesh) -- checked on a handful of elements, not the full batch."""
+        """True when every element is a translate of element 0 (uniform
+        box mesh): an O(nel) corner-span test over the FULL batch (catches
+        graded meshes) plus full node-pattern checks on sampled elements
+        (interior Q2 nodes are midpoints of the span by construction)."""
         nel = xu.shape[0]
+        span = xu[:, -1] - xu[:, 0]
+        scale = np.abs(span[0]).max() + 1e-300
+        if np.abs(span - span[0]).max() > 1e-12 * scale:
+            return False
         rel0 = xu[0] - xu[0, 0]
-        scale = np.abs(rel0).max() + 1e-300
         samp = np.unique(np.linspace(0, nel - 1, 8).astype(np.int64))
         return all(np.abs((xu[e] - xu[e, 0]) - rel0).max() <= 1e-12 * scale
                    for e in samp)

@@ -158,9 +158,14 @@ def _make_saddle_matshell(lv, lame, dm_info=None, names=("Asaddle",
 
 def _abf_options_match(opts, prefix="saddle_"):
     """True when the options tree requests the abf.opts ABF configuration
-    (fgmres / fieldsplit-Schur / u: gcr + Galerkin MG + chebyshev-jacobi /
-    p: preonly) -- the configuration the fully-jitted ABFSolver
-    implements."""
+    (fgmres / fieldsplit-Schur-UPPER / u: gcr + Galerkin MG +
+    chebyshev-jacobi / p: preonly) -- the configuration the fully-jitted
+    ABFSolver implements. Deliberately conservative: any sub-option the
+    jitted path would IGNORE (a different fieldsplit type/factorization,
+    non-jacobi smoother PC, a custom esteig transform, nonzero initial
+    guess) rejects the dispatch so the host path honors it instead."""
+    est = opts.get_real_list("fieldsplit_u_mg_levels_ksp_chebyshev_esteig",
+                             None, prefix=prefix)
     return (opts.get_bool("fs", False)
             and opts.get_string("ksp_type", "gmres",
                                 prefix=prefix) == "fgmres"
@@ -174,7 +179,20 @@ def _abf_options_match(opts, prefix="saddle_"):
                                 "chebyshev",
                                 prefix=prefix) == "chebyshev"
             and opts.get_string("fieldsplit_p_ksp_type", "preonly",
-                                prefix=prefix) == "preonly")
+                                prefix=prefix) == "preonly"
+            and opts.get_string("pc_fieldsplit_type", "schur",
+                                prefix=prefix) == "schur"
+            and opts.get_string("pc_fieldsplit_schur_fact_type", "upper",
+                                prefix=prefix) == "upper"
+            and opts.get_string("fieldsplit_u_mg_levels_pc_type",
+                                "jacobi", prefix=prefix) == "jacobi"
+            and (est is None or tuple(est) == (0.0, 0.2, 0.0, 1.1))
+            and not opts.get_bool("ksp_initial_guess_nonzero", False,
+                                  prefix=prefix)
+            and opts.get_string("ksp_norm_type", "unpreconditioned",
+                                prefix=prefix) == "unpreconditioned"
+            and opts.get_string("ksp_pc_side", "right",
+                                prefix=prefix) == "right")
 
 
 class _JittedKSPShim:
@@ -315,13 +333,22 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
         from exsaddle_tpu.abf import ABFSolver
         from exsaddle_tpu.krylov import make_monitor_short
         nlv_u = opts.get_int("fieldsplit_u_pc_mg_levels", 3, prefix=prefix)
+        max_it = opts.get_int("ksp_max_it", 10000, prefix=prefix)
         slv = ABFSolver(
             mesh, fine.fes, fine.coeff_qp, fine.bc_idx, fine.bc_vals,
             lame=lame, dtype=jnp.float64, nlevels=nlv_u,
             restart=opts.get_int("ksp_gmres_restart", 30, prefix=prefix),
             rtol=opts.get_real("ksp_rtol", 1e-5, prefix=prefix),
-            max_it=opts.get_int("ksp_max_it", 10000, prefix=prefix),
-            gcr_rtol=opts.get_real("fieldsplit_u_ksp_rtol", 1e-2,
+            atol=opts.get_real("ksp_atol", 1e-50, prefix=prefix),
+            dtol=opts.get_real("ksp_divtol", 1e4, prefix=prefix),
+            max_it=max_it,
+            # monitor history must not truncate where the host path would
+            # print every iteration
+            hist_len=max(256, min(max_it, 100000) + 1),
+            # default matches the host KSPConfig default (1e-5) so an
+            # options tree omitting the rtol solves identically on both
+            # paths; abf.opts sets 1e-2 explicitly
+            gcr_rtol=opts.get_real("fieldsplit_u_ksp_rtol", 1e-5,
                                    prefix=prefix),
             cheb_its=opts.get_int("fieldsplit_u_mg_levels_ksp_max_it", 8,
                                   prefix=prefix))

@@ -63,9 +63,17 @@ def factored_host(mesh, fes, coeff_qp, lame=False):
     fac (nqp,), scale (nel, nqp*ncomp) FLAT, facp_lam, wc (ncomp,)."""
     nd = mesh.ndim
     G = fes.dNu_glob
-    # uniform-geometry check: sample elements (a full allclose over the
-    # (nel, nqp, nd, nbu) batch costs seconds at mx=32 for no information)
+    # uniform-geometry check: an O(nel) corner-span test over EVERY
+    # element (catches graded meshes globally) plus full-derivative checks
+    # on sampled elements (a full allclose over the (nel, nqp, nd, nbu)
+    # batch costs seconds at mx=32 for no extra information: interior Q2
+    # nodes are midpoints of the corner span by construction here)
     nel = mesh.nel
+    xu = mesh.u_el_coords
+    span = xu[:, -1] - xu[:, 0]
+    smax = np.abs(span[0]).max() + 1e-300
+    assert np.abs(span - span[0]).max() <= 1e-12 * smax, \
+        "matrix-free path requires uniform element geometry"
     samp = np.unique(np.linspace(0, nel - 1, 8).astype(np.int64))
     gmax = np.abs(G[0]).max()
     for e in samp:

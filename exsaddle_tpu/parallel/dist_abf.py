@@ -125,7 +125,7 @@ def build_dist_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, ndev, lame=False,
         "inv_diag_p": stack_grid(data["inv_diag_p"]),
         # sharded L-2 Galerkin block stencil (stencils[-1] is the L-2
         # level): mloc+1 planes per device, interface plane redundant
-        "W1": stack_grid(data["stencils"][-1]),
+        "W1": stack_grid(setup["stencils_w"][-1]),
         # Lame A22 weights are per-element (sharded); Stokes carries the
         # (1, 1) zero sentinel per device
         "facp_lam": (stack_el(op.facp_lam) if lame
@@ -133,7 +133,7 @@ def build_dist_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, ndev, lame=False,
         # replicated
         "Bs": op.Bs, "Dm": op.Dm, "Np": op.Np, "fac": op.fac,
         "coarse_inv": data["coarse_inv"],
-        "stencils": data["stencils"][:-1],
+        "stencils": setup["stencils_w"][:-1],
         "inv_diag_repl": data["inv_diag_lvls"][:-1],
         "bounds": data["bounds"],
         "p_bounds": data["p_bounds"],

@@ -131,6 +131,38 @@ class HostComm:
         return np.asarray(gathered).sum(axis=0)
 
 
+def simulated_comm(part, ctx, bc_idx, P_f, grids, n_hosts,
+                   process_id=0, lame=False):
+    """HostComm for a SIMULATED multi-host topology in one process: the
+    other hosts' partials are assembled locally up front and summed
+    through the same tag-keyed allreduce hook a real DCN reduction uses.
+    Shared by tests/test_multihost.py and __graft_entry__.dryrun_multichip
+    so the reduction tags stay in one place next to build_cart_abf's."""
+    from exsaddle_tpu.abf import stencil_from_csr
+    from exsaddle_tpu.parallel.cart_abf import assemble_host_local
+    mesh = part.mesh
+    nd = mesh.ndim
+    lvl1 = tuple(reversed(grids[-2]))
+    others = [assemble_host_local(part, ctx, bc_idx, P_f, grids,
+                                  lame=lame,
+                                  boxes=local_boxes(part, h, n_hosts))
+              for h in range(n_hosts) if h != process_id]
+
+    def allreduce(arr, tag):
+        for o in others:
+            if tag == "A1_stencil":
+                arr = arr + stencil_from_csr(o["A1"], lvl1, nd)
+            elif tag == "Mp_stencil":
+                arr = arr + stencil_from_csr(
+                    o["Mp"], tuple(reversed(mesh.nn_p)), 1)
+            else:
+                arr = arr + o[tag]
+        return arr
+
+    return HostComm(n_hosts=n_hosts, process_id=process_id,
+                    allreduce=allreduce)
+
+
 def local_boxes(part, process_id, n_hosts):
     """The (ix, iy[, iz]) element boxes owned by `process_id`'s devices
     under a `host_partition` layout (host axis = outermost dim). Used to

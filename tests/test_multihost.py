@@ -113,7 +113,7 @@ def test_multihost_wired_constructor_path():
     the process's own boxes (nel/n_hosts elements) and allreduces the
     setup partials; the resulting solver matches the single-device solve
     exactly (same its, 1e-10)."""
-    from exsaddle_tpu.abf import ABFSolver, stencil_from_csr
+    from exsaddle_tpu.abf import ABFSolver
     from exsaddle_tpu.parallel import cart_abf as ca
     from exsaddle_tpu.parallel.cart_abf import CartABFSolver
     from exsaddle_tpu import treeops
@@ -124,30 +124,17 @@ def test_multihost_wired_constructor_path():
     part = multihost.host_partition(mesh, N_HOSTS, CHIPS, chip_shape=(2, 2))
 
     # the other hosts' partials, precomputed the same way a real DCN
-    # allreduce would sum them
+    # allreduce would sum them (shared helper, also used by the dryrun)
     grids = [tuple(mesh.nn_u)]
     for _ in range(2):
         grids.append(tuple((m + 1) // 2 for m in grids[-1]))
     grids = grids[::-1]
     P_f = Prolongation(grids[-2], grids[-1], 3).to_scipy()
-    lvl1 = tuple(reversed(grids[-2]))
-    others = [assemble_host_local(
-        part, ctx, bc_idx, P_f, grids,
-        boxes=multihost.local_boxes(part, h, N_HOSTS))
-        for h in range(1, N_HOSTS)]
-
-    def allreduce(arr, tag):
-        for o in others:
-            if tag == "A1_stencil":
-                arr = arr + stencil_from_csr(o["A1"], lvl1, 3)
-            elif tag == "Mp_stencil":
-                arr = arr + stencil_from_csr(
-                    o["Mp"], tuple(reversed(mesh.nn_p)), 1)
-            else:
-                arr = arr + o[tag]
-        return arr
+    comm = multihost.simulated_comm(part, ctx, bc_idx, P_f, grids,
+                                    n_hosts=N_HOSTS, process_id=0)
 
     # count what process 0 actually assembles through the wired path
+    # (patched AFTER simulated_comm precomputed the other host's partial)
     seen = {}
     orig = ca.assemble_host_local
 
@@ -157,8 +144,6 @@ def test_multihost_wired_constructor_path():
         return orig(part_, ctx_, bc_idx_, P_f_, grids_, lame=lame,
                     boxes=boxes)
 
-    comm = multihost.HostComm(n_hosts=N_HOSTS, process_id=0,
-                              allreduce=allreduce)
     ca.assemble_host_local = counting
     try:
         dslv = CartABFSolver(part, ctx, bc_idx, bc_vals,
