@@ -171,6 +171,56 @@ def test_multihost_wired_constructor_path():
     assert diff < 1e-10, diff
 
 
+def test_multihost_lame_constructor_path():
+    """Multi-host x Lame: the per-host partial reduction includes the
+    sharded A22 weights (fl_stack); the wired constructor must match the
+    single-device Lame solve exactly."""
+    from exsaddle_tpu.abf import ABFSolver
+    from exsaddle_tpu.parallel.cart_abf import CartABFSolver
+    from exsaddle_tpu import treeops
+    devs = multihost.host_devices()
+    if len(devs) < N_HOSTS * CHIPS:
+        pytest.skip("needs 8 virtual devices")
+    opts = Options.from_args(["-model", "6", "-lambda1", "10"])
+    ctx = emodels.ModelContext(opts, 3, lame=True,
+                               log=lambda *a, **k: None)
+    mesh = SaddleMesh(3, (4, 4, 4), (1.0, 1.0, 1.0))
+    fes = FESpace(mesh)
+    bc_idx, bc_vals = emodels.create_bc_list(ctx, mesh)
+    c = emodels.evaluate_coefficients(
+        ctx, fes.qp_coords.reshape(-1, 3)).reshape(mesh.nel, fes.nqp, -1)
+    coeff = driver._qp_dict(ctx, interp_q1_to_qp(
+        fes, project_qp_to_q1(fes, c)))
+    slv1 = ABFSolver(mesh, fes, coeff, bc_idx, bc_vals, lame=True,
+                     dtype=jnp.float64, nlevels=3)
+    f1, f2 = assemble_rhs(fes, coeff["Fu"], coeff["Fp"])
+    F = scatter_vector(mesh, f1, f2)
+    F[: mesh.nu][bc_idx] = bc_vals
+    F = F + slv1.setup["rhs_diri"]
+    res1 = slv1.solve(F)
+    assert res1["reason"] == "CONVERGED_RTOL"
+
+    part = multihost.host_partition(mesh, N_HOSTS, CHIPS, chip_shape=(2, 2))
+    grids = [tuple(mesh.nn_u)]
+    for _ in range(2):
+        grids.append(tuple((m + 1) // 2 for m in grids[-1]))
+    grids = grids[::-1]
+    P_f = Prolongation(grids[-2], grids[-1], 3).to_scipy()
+    comm = multihost.simulated_comm(part, ctx, bc_idx, P_f, grids,
+                                    n_hosts=N_HOSTS, process_id=0,
+                                    lame=True)
+    dslv = CartABFSolver(part, ctx, bc_idx, bc_vals,
+                         devs[: N_HOSTS * CHIPS], lame=True,
+                         dtype=jnp.float64, nlevels=3, check_vma=True,
+                         multihost=comm)
+    resd = dslv.solve(F)
+    assert resd["state"] == treeops.CONVERGED_RTOL
+    assert resd["its"] == res1["its"]
+    diff = (np.linalg.norm(resd["x"] - res1["x"])
+            / np.linalg.norm(res1["x"]))
+    assert diff < 1e-10, diff
+
+
 def test_full_solve_on_host_mesh():
     """Distributed ABF over the 2x4 host-partitioned mesh == single-device
     solve (same its, 1e-10 agreement), matching the dryrun assertions."""
