@@ -565,3 +565,24 @@ def main(argv=None, ndim=2, lame=False):
     opts = Options.from_args(args)
     jax.config.update("jax_enable_x64", True)
     saddle_solve(opts, ndim, lame=lame)
+
+
+if __name__ == "__main__":
+    # `python -m exsaddle_tpu.driver ...`: one module stands in for the
+    # reference's four compiled executables (Makefile:43-48); the
+    # compile-time -DNSD/-DLAME matrix becomes the -ndim/-lame flags
+    import sys as _sys
+    _args = _sys.argv[1:]
+    _ndim, _lame, _rest = 3, False, []
+    _i = 0
+    while _i < len(_args):
+        if _args[_i] == "-ndim":
+            _ndim = int(_args[_i + 1])
+            _i += 2
+        elif _args[_i] == "-lame":
+            _lame = True
+            _i += 1
+        else:
+            _rest.append(_args[_i])
+            _i += 1
+    main(_rest, ndim=_ndim, lame=_lame)
