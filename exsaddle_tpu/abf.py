@@ -28,7 +28,11 @@ Multigrid structure (match: -saddle_fieldsplit_u_pc_mg_galerkin, abf.opts:13):
     (PCREDUNDANT + LU equivalent; Makefile:276).
 """
 
+import contextlib
 import itertools
+import os
+import sys
+import time
 from dataclasses import dataclass
 from functools import partial
 
@@ -316,6 +320,20 @@ def stencil_apply_merged(V, x):
 # Setup
 # --------------------------------------------------------------------------
 
+@contextlib.contextmanager
+def _stage(name):
+    """Setup-phase stage timer: prints per-stage wall time to stderr when
+    EXSADDLE_SETUP_PROFILE=1 (the observability hook behind the bench's
+    solve_setup_seconds budget)."""
+    if os.environ.get("EXSADDLE_SETUP_PROFILE") != "1":
+        yield
+        return
+    t0 = time.perf_counter()
+    yield
+    print(f"[setup] {name}: {time.perf_counter() - t0:.2f} s",
+          file=sys.stderr, flush=True)
+
+
 @dataclass(frozen=True)
 class ABFConfig:
     """Static solver configuration (baked into the trace)."""
@@ -330,7 +348,18 @@ class ABFConfig:
     gcr_rtol: float = 1e-2
     gcr_restart: int = 30
     gcr_max_it: int = 200
+    # >0: replace the u-block GCR solve by this many MG-preconditioned
+    # Richardson steps (n V-cycles + n-1 operator applies, no Krylov
+    # window bookkeeping). The outer FGMRES is flexible, so a fixed-cycle
+    # inner solve is admissible; the abf.opts-matching configuration keeps
+    # 0 (= GCR at rtol 1e-2, abf.opts:5-6).
+    u_fixed_vcycles: int = 0
     cheb_its: int = 8
+    # pre-smoothing iteration count; 0 means "same as cheb_its" (the
+    # symmetric abf.opts:8-12 default). The IR bench path may run an
+    # asymmetric V-cycle (fewer pre- than post-smooths): the outer
+    # flexible Krylov methods tolerate the weaker-but-cheaper cycle.
+    cheb_pre_its: int = 0
     p_cheb_its: int = 12
     # TPU MXU matmul precision for every dot_general in the solve trace.
     # The TPU default ("bfloat16", one MXU pass) perturbs the operator and
@@ -353,7 +382,8 @@ class ABFConfig:
     level_grids: tuple = ()     # reversed spatial node shapes, coarse->fine
 
 
-def _esteig_bounds(apply_fn, diag, n, transform=(0.0, 0.2, 0.0, 1.1)):
+def _esteig_bounds(apply_fn, diag, n, transform=(0.0, 0.2, 0.0, 1.1),
+                   return_hes=False):
     """Setup-phase Chebyshev eigenvalue estimation: GMRES(10) Hessenberg
     eigenvalues with left Jacobi preconditioning on the noisy RHS, then
     PETSc's esteig transform (abf.opts:10) -- the same algorithm as the
@@ -412,10 +442,107 @@ def _esteig_bounds(apply_fn, diag, n, transform=(0.0, 0.2, 0.0, 1.1)):
     ev = np.linalg.eigvals(Hes[:it, :it])
     emin_est, emax_est = float(ev.real.min()), float(ev.real.max())
     a, b_, c, d = transform
-    return a * emin_est + b_ * emax_est, c * emin_est + d * emax_est
+    out = (a * emin_est + b_ * emax_est, c * emin_est + d * emax_est)
+    if return_hes:
+        # unrotated (it+1, it) Hessenberg, for the krylov.KSP recurrence
+        # parity test (ADVICE r4: the two Arnoldi implementations must
+        # agree column for column)
+        return out + (Hes[: it + 1, :it],)
+    return out
 
 
-def _galerkin_l2_elements(mesh, P_f, Bs, s_flat, keep_e, bc_u):
+def p_spectrum_bounds(Sel):
+    """Spectrum bracket of D^-1 Mpscaled from the ELEMENT matrices alone.
+
+    D is the assembled diagonal of -Mpscaled, so for any x
+        x^T (-Mp) x / x^T D x = (sum_e x_e^T Se x_e) / (sum_e x_e^T diag(Se) x_e)
+    which is bracketed by the extreme eigenvalues of the diagonally scaled
+    element blocks Be = diag(Se)^{-1/2} Se diag(Se)^{-1/2} (the classical
+    element-eigenvalue bound for assembled SPD forms). One batched 8x8 /
+    4x4 eigvalsh, measured slack < 0.4% on the pseudoice coefficients
+    (mx=16: [0.125005, 3.374956] vs ARPACK's [0.125467, 3.370794]); the
+    bracket is one-sided SAFE (it can only widen the interval).
+
+    Sel: (nel, npb, npb) negative-definite Schur-pre element matrices
+    (assemble_schur_pre; femixedspace.c:2837-2948 weights)."""
+    Se = -np.asarray(Sel)
+    d = np.einsum("eii->ei", Se)
+    s = 1.0 / np.sqrt(d)
+    B = Se * s[:, :, None] * s[:, None, :]
+    ew = np.linalg.eigvalsh(B)
+    return float(ew[:, 0].min()), float(ew[:, -1].max())
+
+
+def _lanczos_extremes(Msym, m=48):
+    """Deterministic fixed-step Lanczos (full reorthogonalization, ones
+    start vector) extreme Ritz values of a symmetric CSR matrix. At these
+    mass-matrix spectra 48 steps reproduce ARPACK's lambda_max to ~1e-9
+    relative in ~0.05 s where ARPACK's tol=1e-8 iteration took ~2 s at
+    mx=32 (the bottom of the spectrum clusters, so lambda_min converges
+    slowly -- callers combine with the element bracket's lower end)."""
+    n = Msym.shape[0]
+    m = min(m, n)
+    V = np.zeros((m + 1, n))
+    alph = np.zeros(m)
+    beta = np.zeros(m)
+    V[0] = 1.0 / np.sqrt(n)
+    k = m
+    for j in range(m):
+        w = Msym @ V[j]
+        alph[j] = V[j] @ w
+        w -= alph[j] * V[j]
+        if j > 0:
+            w -= beta[j - 1] * V[j - 1]
+        w -= V[: j + 1].T @ (V[: j + 1] @ w)
+        beta[j] = np.linalg.norm(w)
+        if beta[j] == 0.0:
+            k = j + 1
+            break
+        V[j + 1] = w / beta[j]
+    T = (np.diag(alph[:k]) + np.diag(beta[:k - 1], 1)
+         + np.diag(beta[:k - 1], -1))
+    ew = np.linalg.eigvalsh(T)
+    return float(ew[0]), float(ew[-1])
+
+
+def p_spectrum_bounds_assembled(Mp, dmp, el_bounds):
+    """Chebyshev interval for the Schur p-block: spectrum of D^-1 Mpscaled
+    (both negative definite -> positive spectrum).
+
+    Small problems (np <= 600) keep the exact dense eigenvalues (bit-
+    identical to the pre-round-5 behavior on every reference-parity case).
+    Larger ones combine a 48-step deterministic Lanczos (lambda_max to
+    ~1e-9 of the ARPACK value) with the element bracket's SAFE lower end
+    (el_bounds, p_spectrum_bounds) -- together within 0.2% of the ARPACK
+    interval at ~20x less setup cost, and identical between the
+    single-device and cartesian builds (same assembled matrix, same
+    deterministic iteration)."""
+    import scipy.sparse as sp
+    Dm_s = sp.diags(1.0 / np.sqrt(np.abs(dmp)))
+    Msym = (Dm_s @ (-Mp) @ Dm_s).tocsr()
+    if Msym.shape[0] <= 600:
+        ew = np.linalg.eigvalsh(Msym.toarray())
+        return float(ew[0]), float(ew[-1])
+    lo_l, hi_l = _lanczos_extremes(Msym)
+    return min(float(el_bounds[0]), lo_l), hi_l
+
+
+def _p_loc_l2(nd):
+    """Element-local block of the fine <- L-2 multilinear interpolation:
+    P_loc[(l, a), (c, a)] for one element (identical for every element on
+    the uniform grid). Rows: Q2-local nodes x-fastest, dof interleaved;
+    cols: corners x-fastest, dof interleaved. The tensor-product closed
+    form of precond_mg.Prolongation restricted to one element -- building
+    the full fine-grid CSR (6.6M entries at mx=32) just to slice this
+    (nud, ncd) block cost ~3 s of every setup."""
+    w1 = np.array([[1.0, 0.0], [0.5, 0.5], [0.0, 1.0]])
+    P = w1
+    for _ in range(nd - 1):
+        P = np.kron(w1, P)          # slowest axis outermost: l = la + 3 lb + ...
+    return np.kron(P, np.eye(nd))
+
+
+def _galerkin_l2_elements(mesh, P_loc, Bs, s_flat, keep_e, bc_u):
     """Per-element Galerkin L-2 contributions of the BC-eliminated fine
     velocity block A00 = K (Bs^T diag(s) Bs) K + diag(bc).
 
@@ -433,25 +560,12 @@ def _galerkin_l2_elements(mesh, P_f, Bs, s_flat, keep_e, bc_u):
     nel = mesh.nel
     ue = np.asarray(mesh.u_el_dofs)
     mels = np.asarray(mesh.m_el)
-    nn1 = mels + 1                              # L-2 nodes per dim
     egrid = np.stack(np.meshgrid(
         *[np.arange(m) for m in reversed(mels)], indexing="ij"),
         -1)[..., ::-1].reshape(-1, nd)          # element x-fastest
-    corners = np.stack(np.meshgrid(
-        *[np.arange(2)] * nd, indexing="ij"),
-        -1)[..., ::-1].reshape(-1, nd)          # local corner x-fastest
-    # corner dofs of element 0 only (the P_loc extraction needs no other
-    # element: uniform grid)
-    lin0 = corners[:, 0].copy()
-    mult = nn1[0]
-    for d_ in range(1, nd):
-        lin0 = lin0 + corners[:, d_] * mult
-        mult *= nn1[d_]
-    uc0 = (lin0[:, None] * nd + np.arange(nd)[None, :]).reshape(-1)
 
-    # P restricted to element 0 (identical for every element on the
-    # uniform grid)
-    P_loc = np.asarray(P_f[np.ix_(ue[0], uc0)].todense())     # (nud, ncd)
+    # P restricted to one element (identical for every element on the
+    # uniform grid): passed in analytically (_p_loc_l2)
     C0 = Bs @ P_loc                                           # (nqpc, ncd)
     ncd = P_loc.shape[1]
 
@@ -582,32 +696,38 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
     bc_u = bc_mask[:nu]
     keep_u = 1.0 - bc_u
 
-    fd = factored_host(mesh, fes, coeff_qp, lame=lame)
+    with _stage("factored_host"):
+        fd = factored_host(mesh, fes, coeff_qp, lame=lame)
     Bs, Dm_m, Np_m, fac = fd["Bs"], fd["Dm"], fd["Np"], fd["fac"]
     s_flat = fd["scale"]                          # (nel, nqp*ncomp), f64
 
-    pop = ParityMatFreeOperator.build(mesh, fes, coeff_qp, bc_mask,
-                                      lame=lame, dtype=dtype, host=fd)
-    aux = tree_aux(pop)
-    perm, iperm = parity_permutation(mesh)
+    with _stage("parity op build"):
+        pop = ParityMatFreeOperator.build(mesh, fes, coeff_qp, bc_mask,
+                                          lame=lame, dtype=dtype, host=fd)
+        aux = tree_aux(pop)
+        perm, iperm = parity_permutation(mesh)
 
     # rhs_diri = -(A_raw x_bc), BC rows zeroed (femixedspace.c:2634-2643);
     # x_bc is zero at pressure dofs so only A11/A21 contribute
-    xbe = x_bc[:nu][ue]
-    yue = ((xbe @ Bs.T) * s_flat) @ Bs
-    ype = -((xbe @ Dm_m.T) * fac[None, :]) @ Np_m
-    rhs_diri = np.zeros(mesh.ndof)
-    np.add.at(rhs_diri, ue.ravel(), yue.ravel())
-    np.add.at(rhs_diri[nu:], np.asarray(mesh.p_el_nodes).ravel(),
-              ype.ravel())
-    rhs_diri = -rhs_diri
-    rhs_diri[:nu][np.asarray(bc_idx)] = 0.0
+    with _stage("rhs_diri"):
+        xbe = x_bc[:nu][ue]
+        yue = ((xbe @ Bs.T) * s_flat) @ Bs
+        ype = -((xbe @ Dm_m.T) * fac[None, :]) @ Np_m
+        rhs_diri = np.zeros(mesh.ndof)
+        rhs_diri[:nu] = np.bincount(ue.ravel(), weights=yue.ravel(),
+                                    minlength=nu)
+        rhs_diri[nu:] = np.bincount(np.asarray(mesh.p_el_nodes).ravel(),
+                                    weights=ype.ravel(),
+                                    minlength=mesh.np_)
+        rhs_diri = -rhs_diri
+        rhs_diri[:nu][np.asarray(bc_idx)] = 0.0
 
     # float64 factored saddle operator: the "assembled matrix" stand-in
     # for residual checks (tests) and the IR path
-    sop = MatFreeSaddleOperator.build(mesh, fes, coeff_qp, bc_mask,
-                                      lame=lame, dtype=jnp.float64,
-                                      host=fd)
+    with _stage("f64 saddle op"):
+        sop = MatFreeSaddleOperator.build(mesh, fes, coeff_qp, bc_mask,
+                                          lame=lame, dtype=jnp.float64,
+                                          host=fd)
 
     # velocity-grid hierarchy (fine -> coarse), DMDA (M+1)/2 coarsening
     grids = [tuple(mesh.nn_u)]
@@ -617,8 +737,14 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
     for g in grids:
         assert all(n >= 2 for n in g), "too many MG levels for this mesh"
 
-    prolongs = [Prolongation(grids[k], grids[k + 1], nd)
-                for k in range(nlevels - 1)]
+    # deep transfer operators only (coarsest .. L-2); the FINE-level
+    # Prolongation (823875 rows at mx=32, ~3 s to build + CSR-ify) is
+    # needed only by the explicit-A00 path below
+    with _stage("prolongations"):
+        prolongs = [Prolongation(grids[k], grids[k + 1], nd)
+                    for k in range(nlevels - 2)]
+        if A00_csr is not None:
+            prolongs.append(Prolongation(grids[-2], grids[-1], nd))
     W1 = None
     if A00_csr is not None:
         # explicit fine CSR supplied (host PC paths): classic chain
@@ -630,22 +756,29 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
         # matrix all from Bs/s_flat (A11[e] = Bs^T diag(s_e) Bs exactly)
         keep_e = keep_u[ue]
         diag_e = s_flat @ (Bs ** 2)               # (nel, nud)
-        fine_diag = bc_u.copy()
-        np.add.at(fine_diag, ue.ravel(), (keep_e * diag_e).ravel())
+        fine_diag = bc_u + np.bincount(ue.ravel(),
+                                       weights=(keep_e * diag_e).ravel(),
+                                       minlength=nu)
+
+        ue_flat = ue.ravel()
 
         def fine_apply(v):
             x = np.asarray(v)
             xe = (keep_u * x)[ue]
             yue = ((xe @ Bs.T) * s_flat) @ Bs
-            y = np.zeros(nu)
-            np.add.at(y, ue.ravel(), yue.ravel())
+            # bincount is the vectorized scatter-add (np.add.at runs a
+            # slow per-entry inner loop: ~0.15 s per apply at mx=32)
+            y = np.bincount(ue_flat, weights=yue.ravel(), minlength=nu)
             return keep_u * y + bc_u * x
 
-        P_f = prolongs[-1].to_scipy().tocsr()
-        A1e = _galerkin_l2_elements(mesh, P_f, Bs, s_flat, keep_e, bc_u)
-        W1 = _stencil_from_l2_elements(A1e, mesh.m_el, nd)
-        A1 = csr_from_stencil(W1, tuple(reversed(grids[-2])), nd)
-        coarse_csrs = galerkin_coarse_operators(A1, prolongs[:-1]) + [A1]
+        with _stage("L-2 Galerkin elements"):
+            A1e = _galerkin_l2_elements(mesh, _p_loc_l2(nd), Bs, s_flat,
+                                        keep_e, bc_u)
+        with _stage("L-2 stencil + csr"):
+            W1 = _stencil_from_l2_elements(A1e, mesh.m_el, nd)
+            A1 = csr_from_stencil(W1, tuple(reversed(grids[-2])), nd)
+        with _stage("deep Galerkin RAPs"):
+            coarse_csrs = galerkin_coarse_operators(A1, prolongs) + [A1]
 
     # per-level Jacobi diagonals + esteig bounds (levels coarsest..finest;
     # smoothers live on levels 1..nlevels-1)
@@ -661,13 +794,15 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
             apply_fn = (lambda v, A=A: A @ np.asarray(v))
             n_lvl = A.shape[0]
         d = np.where(d == 0.0, 1.0, d)
-        emin, emax = _esteig_bounds(apply_fn, d, n_lvl)
+        with _stage(f"esteig level {k}"):
+            emin, emax = _esteig_bounds(apply_fn, d, n_lvl)
         diags.append(d)
         bounds.append((emin, emax))
 
     # coarse inverse (PCREDUNDANT + stable dense LU stand-in for UMFPACK)
-    A0 = coarse_csrs[0].toarray()
-    coarse_inv = np.linalg.inv(A0)
+    with _stage("coarse inverse"):
+        A0 = coarse_csrs[0].toarray()
+        coarse_inv = np.linalg.inv(A0)
 
     # block stencils for EVERY intermediate level 1..nlevels-2, including
     # the L-2 Galerkin level: applying L-2 as R A_fine P costs a full
@@ -723,43 +858,36 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
     cols = np.broadcast_to(mesh.p_el_nodes[:, None, :], Sel.shape).ravel()
     Mp = sp.coo_matrix((Sel.ravel(), (rows, cols)),
                        shape=(mesh.np_, mesh.np_)).tocsr()
-    # spectrum of D^-1 Mp (both negative definite -> positive spectrum)
-    Dm = sp.diags(1.0 / np.sqrt(np.abs(dmp)))
-    Msym = (Dm @ (-Mp) @ Dm).tocsr()
-    import scipy.sparse.linalg as spla
-    if mesh.np_ <= 600:
-        ew = np.linalg.eigvalsh(Msym.toarray())
-        p_emin, p_emax = float(ew[0]), float(ew[-1])
-    else:
-        # tol=1e-8: the extreme eigenvalues feed fixed-degree Chebyshev
-        # bounds; 8 accurate digits leave the polynomial unchanged while
-        # ARPACK at tol=0 burned ~4 s at mx=32
-        p_emax = float(spla.eigsh(Msym, k=1, which="LA", tol=1e-8,
-                                  return_eigenvectors=False)[0])
-        p_emin = float(spla.eigsh(Msym, k=1, which="SA", tol=1e-8,
-                                  return_eigenvectors=False)[0])
+    # spectrum interval of D^-1 Mp: exact (dense) on small problems,
+    # Lanczos + element bracket above (replaces ARPACK: ~2.4 s -> ~0.1 s
+    # at mx=32; see p_spectrum_bounds_assembled)
+    with _stage("p-block spectrum"):
+        p_emin, p_emax = p_spectrum_bounds_assembled(
+            Mp, dmp, p_spectrum_bounds(Sel))
 
     # cast in numpy first: jnp's f64->f32 conversion of the large setup
     # arrays dispatches XLA convert kernels (~2 s at mx=32 on this host)
     npdt = np.dtype(dtype)
     cast = lambda a: jnp.asarray(np.asarray(a, npdt))
-    data = {
-        "op": pop,
-        "aux": aux,
-        "inv_diag_fine": inv_diag_fine,
-        "inv_diag_lvls": inv_diag_lvls,
-        # merged (x, dof)-lane form: the ONLY stencil form the jitted
-        # single-device V-cycle reads; the W-form ships host-side in
-        # `setup` for the distributed builds (the L-2 W at mx=32 is
-        # ~35 MB -- putting it in `data` wasted that much HBM per solver)
-        "stencils_m": [cast(stencil_to_merged(W)) for W in stencils],
-        "coarse_inv": cast(coarse_inv),
-        "bounds": [(cast(b[0]), cast(b[1])) for b in bounds],
-        "pscale": cast(pscale),
-        "inv_diag_p": cast((1.0 / dmp).reshape(
-            tuple(reversed(mesh.nn_p)))),
-        "p_bounds": (cast(p_emin), cast(p_emax)),
-    }
+    with _stage("device cast"):
+        data = {
+            "op": pop,
+            "aux": aux,
+            "inv_diag_fine": inv_diag_fine,
+            "inv_diag_lvls": inv_diag_lvls,
+            # merged (x, dof)-lane form: the ONLY stencil form the jitted
+            # single-device V-cycle reads; the W-form ships host-side in
+            # `setup` for the distributed builds (the L-2 W at mx=32 is
+            # ~35 MB -- putting it in `data` wasted that much HBM per
+            # solver)
+            "stencils_m": [cast(stencil_to_merged(W)) for W in stencils],
+            "coarse_inv": cast(coarse_inv),
+            "bounds": [(cast(b[0]), cast(b[1])) for b in bounds],
+            "pscale": cast(pscale),
+            "inv_diag_p": cast((1.0 / dmp).reshape(
+                tuple(reversed(mesh.nn_p)))),
+            "p_bounds": (cast(p_emin), cast(p_emax)),
+        }
     cfg = ABFConfig(ndim=nd, nlevels=nlevels,
                     cls_shapes=tuple(tuple(s) for s in pop.cls_shapes),
                     m_el=tuple(mesh.m_el),
@@ -829,13 +957,18 @@ def make_abf_solver(cfg):
                 invd_m = merge(data["inv_diag_lvls"][k - 1])
                 lvl_pc[k] = lambda t, d=invd_m: d * t
 
-        def smooth(k, b, x0v):
+        pre_its = cfg.cheb_pre_its if cfg.cheb_pre_its > 0 else cfg.cheb_its
+
+        def smooth(k, b, x0v, pre=False):
             emin, emax = lvl_bounds[k]
             # unroll the small stencil levels; keep the big fine level as
-            # a tight loop (see treeops.cheb_smooth's measurements)
+            # a tight loop (see treeops.cheb_smooth's measurements).
+            # Pre-smooths start from the zero vector: x0_zero skips the
+            # initial A x0 apply (bit-identical result, one fewer mult).
             return treeops.cheb_smooth(lvl_ops[k], lvl_pc[k], emin, emax,
-                                       cfg.cheb_its, b, x0v,
-                                       unroll=(k < nlev - 1))
+                                       pre_its if pre else cfg.cheb_its,
+                                       b, x0v, unroll=(k < nlev - 1),
+                                       x0_zero=pre)
 
         def restrict_k(k, r):
             """Residual transfer from level k to k-1."""
@@ -856,13 +989,13 @@ def make_abf_solver(cfg):
             if k == 0:
                 return coarse_solve(b)
             if k == nlev - 1:
-                x = smooth(k, b, treeops.tzeros_like(b))
+                x = smooth(k, b, treeops.tzeros_like(b), pre=True)
                 r = treeops.tsub(b, lvl_ops[k](x))
                 xc = vcycle(k - 1, restrict_k(k, r))
                 x = treeops.taxpy(1.0, prolong_k(k, xc), x)
                 return smooth(k, b, x)
             bm = merge(b)
-            xm = smooth(k, bm, jnp.zeros_like(bm))
+            xm = smooth(k, bm, jnp.zeros_like(bm), pre=True)
             rm = bm - lvl_ops[k](xm)
             xc = vcycle(k - 1, restrict_k(k, unmerge(rm)))
             xm = xm + merge(prolong_k(k, xc))
@@ -872,9 +1005,19 @@ def make_abf_solver(cfg):
             with jax.default_matmul_precision(cfg.pc_matmul_precision):
                 return vcycle(nlev - 1, r)
 
-        # --- u-block GCR (abf.opts:5-6) -----------------------------------
-        gcr = treeops.make_gcr(fineA, mg_pc, restart=cfg.gcr_restart,
-                               rtol=cfg.gcr_rtol, max_it=cfg.gcr_max_it)
+        # --- u-block solve (abf.opts:5-6) ---------------------------------
+        if cfg.u_fixed_vcycles > 0:
+            nfv = cfg.u_fixed_vcycles
+
+            def gcr(ru):
+                x = mg_pc(ru)
+                for _ in range(nfv - 1):
+                    r = treeops.tsub(ru, fineA(x))
+                    x = treeops.taxpy(1.0, mg_pc(r), x)
+                return x, jnp.int32(nfv), jnp.float32(0.0)
+        else:
+            gcr = treeops.make_gcr(fineA, mg_pc, restart=cfg.gcr_restart,
+                                   rtol=cfg.gcr_rtol, max_it=cfg.gcr_max_it)
 
         # --- Schur p-block: Chebyshev in Jacobi-preconditioned Mpscaled ---
         p_emin, p_emax = data["p_bounds"]
@@ -891,7 +1034,8 @@ def make_abf_solver(cfg):
             with jax.default_matmul_precision(cfg.pc_matmul_precision):
                 return treeops.cheb_smooth(p_mult, p_pc, p_emin, p_emax,
                                            cfg.p_cheb_its, bp,
-                                           jnp.zeros_like(bp))
+                                           jnp.zeros_like(bp),
+                                           x0_zero=True)
 
         # --- fieldsplit Schur UPPER (exSaddle.c:313-318) -------------------
         def pc_apply(t):

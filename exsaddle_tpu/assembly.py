@@ -29,6 +29,13 @@ class FESpace:
     (femixedspace.h:30-56), with geometry evaluated isoparametrically per
     element/quadrature point as in EvaluateBasisDerivGlobal
     (femixedspace.c:1615-1723).
+
+    NOTE (ADVICE r4): on uniform box meshes with > 4096 elements,
+    `detJ_u` / `dNu_glob` / `detJ_p` / `dNp_glob` are READ-ONLY
+    zero-stride `np.broadcast_to` views (every element shares the
+    geometry of element 0). Consumers that mutate per-element geometry or
+    require writable/contiguous batches must `np.ascontiguousarray` them
+    first; the <= 4096-element path returns real writable batches.
     """
 
     def __init__(self, mesh):

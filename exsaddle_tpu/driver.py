@@ -192,17 +192,81 @@ def _abf_options_match(opts, prefix="saddle_"):
             and opts.get_string("ksp_norm_type", "unpreconditioned",
                                 prefix=prefix) == "unpreconditioned"
             and opts.get_string("ksp_pc_side", "right",
-                                prefix=prefix) == "right")
+                                prefix=prefix) == "right"
+            # sub-options the jitted path cannot honor reject the
+            # dispatch (ADVICE r4): any p-block PC other than the
+            # bjacobi+ILU the Chebyshev polynomial stands in for, a
+            # non-default Galerkin coarse solver, or a non-NONE smoother
+            # norm type (which changes Chebyshev semantics)
+            and opts.get_string("fieldsplit_p_pc_type", "bjacobi",
+                                prefix=prefix) == "bjacobi"
+            and opts.get_string("fieldsplit_p_sub_pc_type", "ilu",
+                                prefix=prefix) == "ilu"
+            and opts.get_string("fieldsplit_u_mg_coarse_pc_type",
+                                "redundant", prefix=prefix) == "redundant"
+            and opts.get_string("fieldsplit_u_mg_coarse_ksp_type",
+                                "preonly", prefix=prefix) == "preonly"
+            and opts.get_string("fieldsplit_u_mg_levels_ksp_norm_type",
+                                "none", prefix=prefix) == "none")
+
+
+def _choose_dev_shape(m_el, ndev):
+    """Cartesian device grid for `ndev` devices over `m_el` elements:
+    prime factors of ndev assigned largest-first to the axis with the
+    largest local element count that divides (balanced slabs, z-major
+    tie-break so single-axis splits land on the outermost axis -- the
+    DCN-friendly layout of parallel.multihost.host_partition). Returns
+    None when ndev does not factor into the mesh (caller falls back to
+    the single-device solver)."""
+    nd = len(m_el)
+    shape = [1] * nd
+    mloc = list(m_el)
+    rem = ndev
+    factors = []
+    f = 2
+    while f * f <= rem:
+        while rem % f == 0:
+            factors.append(f)
+            rem //= f
+        f += 1
+    if rem > 1:
+        factors.append(rem)
+    for f in sorted(factors, reverse=True):
+        cands = [d for d in range(nd) if mloc[d] % f == 0]
+        if not cands:
+            return None
+        d = max(cands, key=lambda d: (mloc[d], d))
+        shape[d] *= f
+        mloc[d] //= f
+    return tuple(shape)
+
+
+def _reason_from_state(state):
+    from exsaddle_tpu import treeops
+    return {treeops.CONVERGED_RTOL: "CONVERGED_RTOL",
+            treeops.CONVERGED_ATOL: "CONVERGED_ATOL",
+            treeops.CONVERGED_HAPPY: "CONVERGED_HAPPY_BREAKDOWN",
+            treeops.DIVERGED_ITS: "DIVERGED_ITS",
+            treeops.DIVERGED_DTOL: "DIVERGED_DTOL"}.get(int(state),
+                                                        str(int(state)))
 
 
 class _JittedKSPShim:
     """Duck-typed stand-in for the host KSP in the jitted dispatch path:
     carries .solve / .cfg so -twosolves and the result plumbing work
-    unchanged."""
+    unchanged.
 
-    def __init__(self, slv, monitor, reason_log, prefix):
+    mode: "direct" (ABFSolver.solve), "cart" (CartABFSolver.solve over
+    the device mesh) or "ir" (ABFSolver.solve_ir mixed-precision
+    iterative refinement; monitor lines are the TRUE float64 residual
+    per refinement round)."""
+
+    def __init__(self, slv, monitor, reason_log, prefix, mode="direct",
+                 rtol_true=1e-8):
         from exsaddle_tpu.krylov import KSPConfig
         self._slv = slv
+        self._mode = mode
+        self._rtol_true = rtol_true
         self.cfg = KSPConfig(type="fgmres", prefix=prefix)
         self.cfg.monitor = monitor
         self.cfg.converged_reason_log = reason_log
@@ -210,12 +274,22 @@ class _JittedKSPShim:
 
     def solve(self, F):
         from exsaddle_tpu.krylov import KSPResult
-        res = self._slv.solve(np.asarray(F))
+        if self._mode == "ir":
+            res = self._slv.solve_ir(np.asarray(F), rtol=self._rtol_true)
+            its = res["inner_its"]
+            reason = ("CONVERGED_RTOL" if res["converged"]
+                      else "DIVERGED_ITS")
+            rnorm = res["rnorm"]
+        else:
+            res = self._slv.solve(np.asarray(F))
+            its = res["its"]
+            reason = (res["reason"] if "reason" in res
+                      else _reason_from_state(res["state"]))
+            rnorm = res["rnorm"]
         if self.cfg.monitor is not None:
             for i, rn in enumerate(res["history"]):
                 self.cfg.monitor(i, rn)
-        out = KSPResult(jnp.asarray(res["x"]), res["its"],
-                        res["reason"], res["rnorm"])
+        out = KSPResult(jnp.asarray(res["x"]), its, reason, rnorm)
         if self.cfg.converged_reason_log is not None:
             from exsaddle_tpu.krylov import converged_reason_message
             self.cfg.converged_reason_log(
@@ -312,12 +386,24 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
                   or dump_mpscaled or dump_operator or nullspace_flag
                   or nranks > 1)
     tpu_flag = opts.get_bool("tpu", None)
+    ir_flag = opts.get_bool("ir", False)
+    rtol_true = opts.get_real("rtol_true", 1e-8)
+    ndev = len(jax.devices())
     use_jitted = (_abf_options_match(opts) and not introspect
                   and nlevels == 1)
     if tpu_flag is None:
+        # accelerators dispatch by default; on CPU the host stack stays
+        # the default (a virtual multi-device CPU mesh drives the
+        # distributed dispatch explicitly with -tpu 1, as
+        # __graft_entry__.dryrun_multichip does)
         use_jitted = use_jitted and jax.default_backend() != "cpu"
     else:
         use_jitted = use_jitted and bool(tpu_flag)
+    # multiple visible devices: solve on the full cartesian device mesh
+    # (the mpiexec -n N leg of the reference's one executable,
+    # Makefile:410-424) when the element grid factors over it
+    cart_shape = (_choose_dev_shape(m_el, ndev)
+                  if use_jitted and ndev > 1 else None)
 
     # --- assembly per level (exSaddle.c:265-270); the jitted path builds
     # its factored operator itself and never needs element batches ---
@@ -334,9 +420,8 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
         from exsaddle_tpu.krylov import make_monitor_short
         nlv_u = opts.get_int("fieldsplit_u_pc_mg_levels", 3, prefix=prefix)
         max_it = opts.get_int("ksp_max_it", 10000, prefix=prefix)
-        slv = ABFSolver(
-            mesh, fine.fes, fine.coeff_qp, fine.bc_idx, fine.bc_vals,
-            lame=lame, dtype=jnp.float64, nlevels=nlv_u,
+        cfg_common = dict(
+            nlevels=nlv_u,
             restart=opts.get_int("ksp_gmres_restart", 30, prefix=prefix),
             rtol=opts.get_real("ksp_rtol", 1e-5, prefix=prefix),
             atol=opts.get_real("ksp_atol", 1e-50, prefix=prefix),
@@ -350,15 +435,47 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
             # paths; abf.opts sets 1e-2 explicitly
             gcr_rtol=opts.get_real("fieldsplit_u_ksp_rtol", 1e-5,
                                    prefix=prefix),
+            # numeric u-KSP sub-options ARE honored (ADVICE r4): the GCR
+            # truncation window and iteration cap plumb straight through
+            gcr_restart=opts.get_int("fieldsplit_u_ksp_gcr_restart", 30,
+                                     prefix=prefix),
+            gcr_max_it=opts.get_int("fieldsplit_u_ksp_max_it", 200,
+                                    prefix=prefix),
             cheb_its=opts.get_int("fieldsplit_u_mg_levels_ksp_max_it", 8,
                                   prefix=prefix))
+        mode = "direct"
+        if cart_shape is not None:
+            from exsaddle_tpu.parallel.cart import CartPartition
+            from exsaddle_tpu.parallel.cart_abf import CartABFSolver
+            if ir_flag:
+                log("# -ir: distributed solve runs directly in float64 "
+                    "(mixed-precision refinement is the single-device "
+                    "path); -rtol_true ignored")
+            part = CartPartition(mesh, cart_shape)
+            slv = CartABFSolver(part, ctx, fine.bc_idx, fine.bc_vals,
+                                jax.devices(), lame=lame,
+                                dtype=jnp.float64, **cfg_common)
+            mode = "cart"
+        elif ir_flag:
+            # mixed-precision iterative refinement: float32 inner ABF
+            # solve on the accelerator, float64 true-residual outer loop
+            # to rtol_true (the bench.py flagship path)
+            slv = ABFSolver(
+                mesh, fine.fes, fine.coeff_qp, fine.bc_idx, fine.bc_vals,
+                lame=lame, dtype=jnp.float32, ir=True, **cfg_common)
+            mode = "ir"
+        else:
+            slv = ABFSolver(
+                mesh, fine.fes, fine.coeff_qp, fine.bc_idx, fine.bc_vals,
+                lame=lame, dtype=jnp.float64, **cfg_common)
         fine.rhs_diri = slv.setup["rhs_diri"]
         monitor = (make_monitor_short(prefix, log=log)
                    if opts.get_bool("ksp_monitor_short", False,
                                     prefix=prefix) else None)
         reason_log = (log if opts.get_bool("ksp_converged_reason", False,
                                            prefix=prefix) else None)
-        ksp = _JittedKSPShim(slv, monitor, reason_log, prefix)
+        ksp = _JittedKSPShim(slv, monitor, reason_log, prefix, mode=mode,
+                             rtol_true=rtol_true)
 
     # --- RHS (exSaddle.c:273-282) ---
     f1, f2 = assemble_rhs(fine.fes, fine.coeff_qp["Fu"], fine.coeff_qp["Fp"])

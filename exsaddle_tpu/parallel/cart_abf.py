@@ -126,6 +126,10 @@ def assemble_host_local(part, ctx, bc_idx, P_f, grids, lame=False,
     pscale_g = np.zeros_like(eta_g)
 
     sv_stack = None
+    # running element-eigenvalue bracket of D^-1 Mpscaled (abf.p_spectrum_
+    # bounds); identity under min/max reduction so per-box and cross-host
+    # accumulation is order-independent and exact vs the global batch
+    p_lo, p_hi = np.inf, -np.inf
     ps_stack = np.zeros(stack + (nel_loc, eta_g.shape[1]))
     # A22 factored weights (Lame only): w_q detJp / lambda per element;
     # a (1, 1) zero block per device for Stokes (matfree's lame sentinel)
@@ -214,6 +218,9 @@ def assemble_host_local(part, ctx, bc_idx, P_f, grids, lame=False,
         A1_acc = A1_acc + (P_f.T @ (A_box @ P_f)).tocsr()
 
         Sel = np.asarray(assemble_schur_pre(lfes, coeff, lame=lame))
+        from exsaddle_tpu.abf import p_spectrum_bounds
+        blo, bhi = p_spectrum_bounds(Sel)
+        p_lo, p_hi = min(p_lo, blo), max(p_hi, bhi)
         pnod = mesh.p_el_nodes[el_ids]
         np.add.at(dmp, pnod.ravel(), np.einsum("eii->ei", Sel).ravel())
         prows = np.broadcast_to(pnod[:, :, None], Sel.shape).ravel()
@@ -227,7 +234,8 @@ def assemble_host_local(part, ctx, bc_idx, P_f, grids, lame=False,
     return {"diag_u": diag_u, "A1": A1_acc, "Mp": Mp_acc, "dmp": dmp,
             "eta_g": eta_g, "pscale_g": pscale_g,
             "sv_stack": sv_stack, "ps_stack": ps_stack,
-            "fl_stack": fl_stack}
+            "fl_stack": fl_stack,
+            "p_elbounds": np.array([p_lo, p_hi])}
 
 
 def build_cart_abf(part, ctx, bc_idx, bc_vals, lame=False,
@@ -296,6 +304,8 @@ def build_cart_abf(part, ctx, bc_idx, bc_vals, lame=False,
         for key in ("diag_u", "dmp", "eta_g", "pscale_g",
                     "sv_stack", "ps_stack", "fl_stack"):
             acc[key] = red(acc[key], key)
+        # the spectrum bracket reduces by min/max, not sum
+        acc["p_elbounds"] = multihost.allreduce_minmax(acc["p_elbounds"])
         W1p = stencil_from_csr(acc["A1"], lvl_grids[-2], nd)
         acc["A1"] = csr_from_stencil(red(W1p, "A1_stencil"),
                                      lvl_grids[-2], nd)
@@ -370,18 +380,13 @@ def build_cart_abf(part, ctx, bc_idx, bc_vals, lame=False,
     # device, interface planes redundant
     W1 = stencil_from_csr(A1_acc, lvl_grids[-2], nd)
 
-    # Schur p-block spectrum (build_abf semantics)
-    Dm_s = sp.diags(1.0 / np.sqrt(np.abs(dmp)))
-    Msym = (Dm_s @ (-Mp_acc) @ Dm_s).tocsr()
-    import scipy.sparse.linalg as spla
-    if mesh.np_ <= 600:
-        ew = np.linalg.eigvalsh(Msym.toarray())
-        p_emin, p_emax = float(ew[0]), float(ew[-1])
-    else:
-        p_emax = float(spla.eigsh(Msym, k=1, which="LA", tol=1e-8,
-                                  return_eigenvectors=False)[0])
-        p_emin = float(spla.eigsh(Msym, k=1, which="SA", tol=1e-8,
-                                  return_eigenvectors=False)[0])
+    # Schur p-block spectrum (build_abf semantics): dense-exact on small
+    # problems, deterministic Lanczos + the box-accumulated element
+    # bracket above -- identical to the single-device build (same
+    # assembled matrix, min/max composes across boxes/hosts)
+    from exsaddle_tpu.abf import p_spectrum_bounds_assembled
+    p_emin, p_emax = p_spectrum_bounds_assembled(Mp_acc, dmp,
+                                                 acc["p_elbounds"])
 
     # --- shard the node-grid quantities ---
     def shard_u_parity(vec_u):

@@ -130,6 +130,22 @@ class HostComm:
         gathered = multihost_utils.process_allgather(jnp.asarray(arr))
         return np.asarray(gathered).sum(axis=0)
 
+    def allreduce_minmax(self, bounds):
+        """Reduce a [lo, hi] bracket across hosts: min over lo, max over
+        hi (the p-block spectrum bracket of cart_abf; sum semantics do not
+        apply). Injected test reducers receive it under the
+        "p_elbounds" tag."""
+        if self._allreduce is not None:
+            return np.asarray(self._allreduce(np.asarray(bounds),
+                                              "p_elbounds"))
+        if self.n_hosts == 1:
+            return np.asarray(bounds)
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        g = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(bounds)))
+        return np.array([g[:, 0].min(), g[:, 1].max()])
+
 
 def simulated_comm(part, ctx, bc_idx, P_f, grids, n_hosts,
                    process_id=0, lame=False):
@@ -155,6 +171,9 @@ def simulated_comm(part, ctx, bc_idx, P_f, grids, n_hosts,
             elif tag == "Mp_stencil":
                 arr = arr + stencil_from_csr(
                     o["Mp"], tuple(reversed(mesh.nn_p)), 1)
+            elif tag == "p_elbounds":
+                arr = np.array([min(arr[0], o[tag][0]),
+                                max(arr[1], o[tag][1])])
             else:
                 arr = arr + o[tag]
         return arr

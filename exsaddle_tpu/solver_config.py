@@ -19,6 +19,9 @@ from exsaddle_tpu import precond
 from exsaddle_tpu import precond_mg
 from exsaddle_tpu.krylov import KSP, KSPConfig, make_monitor_short
 
+# once-per-process guard for the norm-NONE convergence-test stderr note
+_NORM_NOTE_EMITTED = False
+
 
 class MatShell:
     """Minimal matrix abstraction: apply + lazily-cached derived forms."""
@@ -97,15 +100,20 @@ def read_ksp_config(opts, prefix, defaults=None, log=print):
         # Surface the divergence instead of only recording the view
         # cosmetics (ADVICE r3): stderr, so golden-stdout diffs are
         # unaffected but interactive users see it. Also documented in
-        # README "Behavior notes".
-        import sys
-        print(f"[exsaddle_tpu] note: -{prefix}ksp_convergence_test default"
-              " on a norm-NONE sub-solver runs with convergence decided on"
-              " the true residual at restart boundaries (effectively-exact"
-              " sub-solve; reproduces the reference's observable history)"
-              " rather than PETSc's per-iteration "
-              f"{cfg.view_norm_type.upper()} test; -ksp_view reports"
-              " PETSc's resolved norm type.", file=sys.stderr)
+        # README "Behavior notes". Once per process (ADVICE r4: nested
+        # fieldsplit/MG trees construct many matching sub-KSPs).
+        global _NORM_NOTE_EMITTED
+        if not _NORM_NOTE_EMITTED:
+            _NORM_NOTE_EMITTED = True
+            import sys
+            print(f"[exsaddle_tpu] note: -{prefix}ksp_convergence_test"
+                  " default on a norm-NONE sub-solver runs with convergence"
+                  " decided on the true residual at restart boundaries"
+                  " (effectively-exact sub-solve; reproduces the"
+                  " reference's observable history) rather than PETSc's"
+                  " per-iteration "
+                  f"{cfg.view_norm_type.upper()} test; -ksp_view reports"
+                  " PETSc's resolved norm type.", file=sys.stderr)
     cfg.initial_guess_nonzero = opts.get_bool(
         "ksp_initial_guess_nonzero", cfg.initial_guess_nonzero, prefix=prefix)
     est = opts.get_real_list("ksp_chebyshev_esteig", None, prefix=prefix)

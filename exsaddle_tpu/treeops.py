@@ -152,7 +152,8 @@ def make_dots(weight=None, psum_axis=None):
 
 # --- Chebyshev smoother ------------------------------------------------------
 
-def cheb_smooth(mult, pc_apply, emin, emax, its, b, x0, unroll=False):
+def cheb_smooth(mult, pc_apply, emin, emax, its, b, x0, unroll=False,
+                x0_zero=False):
     """KSPSolve_Chebyshev three-term recurrence with norm type NONE
     (abf.opts:8-12 smoother: fixed `its` applications, nonzero initial
     guess). Matches krylov.KSP._solve_chebyshev step for step.
@@ -164,13 +165,19 @@ def cheb_smooth(mult, pc_apply, emin, emax, its, b, x0, unroll=False):
     (merged L-2 smooth: 1.74 ms unrolled vs 2.08 ms looped) but a 2x LOSS
     for the big fine level (7.0 ms unrolled vs 3.5 ms looped: the large
     unrolled graph schedules worse than the tight loop body). Callers
-    pick per level."""
+    pick per level.
+
+    x0_zero=True asserts x0 is exactly zero, skipping the initial
+    r = b - A x0 operator application (A 0 == 0 bitwise for these masked
+    matrix-free applies, so the result is bit-identical with one fewer
+    mult -- the pre-smooth of every V-cycle and the Schur p-polynomial
+    both start from zero)."""
     scale = 2.0 / (emax + emin)
     alpha_ = 1.0 - scale * emin
     mu = 1.0 / alpha_
     omegaprod = 2.0 / alpha_
 
-    r = tsub(b, mult(x0))
+    r = b if x0_zero else tsub(b, mult(x0))
     p_k = taxpy(scale, pc_apply(r), x0)
 
     if unroll:

@@ -134,3 +134,39 @@ def test_abf_four_levels_stencil_path():
     assert res["reason"] == "CONVERGED_RTOL"
     tr = _true_residual(slv, F, res["x"])
     assert abs(tr - res["rnorm"]) / res["rnorm"] < 1e-6
+
+
+def test_esteig_hessenberg_matches_host_ksp():
+    """ADVICE r4: abf._esteig_bounds hand-rolls the same GMRES/Arnoldi
+    recurrence as krylov.KSP._solve_gmres (classical Gram-Schmidt, Givens,
+    left Jacobi PC, rtol 1e-12, 10 its). The two implementations must
+    produce the SAME unrotated Hessenberg on the same operator, or a fix
+    to one silently diverges from the other."""
+    import numpy as np
+    import scipy.sparse as sp
+    from exsaddle_tpu.abf import _esteig_bounds
+    from exsaddle_tpu.krylov import KSP, KSPConfig, noisy_vector
+    from exsaddle_tpu.precond import PCJacobi
+
+    rng = np.random.default_rng(7)
+    n = 120
+    B = rng.standard_normal((n, n))
+    A = sp.csr_matrix(B @ B.T + n * np.eye(n))
+    diag = A.diagonal()
+
+    _, _, Hes = _esteig_bounds(lambda v: A @ np.asarray(v), diag, n,
+                               return_hes=True)
+
+    cfg = KSPConfig(type="gmres", rtol=1e-12, max_it=10, restart=30,
+                    pc_side="left", norm_type="preconditioned")
+    ksp = KSP(lambda v: jnp.asarray(A @ np.asarray(v)), PCJacobi(diag), cfg)
+    ksp.solve(jnp.asarray(noisy_vector(n)))
+    Hhost = np.asarray(ksp.last_hessenberg)
+
+    it = min(Hes.shape[1], Hhost.shape[1])
+    assert it >= 5
+    assert Hes.shape[1] == Hhost.shape[1]
+    # jnp (XLA CPU) vs numpy dot products differ in the last ulps;
+    # 1e-9 still proves the recurrences are the same algorithm
+    assert np.allclose(Hes[: it + 1, :it], Hhost[: it + 1, :it],
+                       rtol=1e-9, atol=1e-10)
