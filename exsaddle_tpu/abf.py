@@ -560,42 +560,46 @@ def _galerkin_l2_elements(mesh, P_loc, Bs, s_flat, keep_e, bc_u):
     nel = mesh.nel
     ue = np.asarray(mesh.u_el_dofs)
     mels = np.asarray(mesh.m_el)
-    egrid = np.stack(np.meshgrid(
-        *[np.arange(m) for m in reversed(mels)], indexing="ij"),
-        -1)[..., ::-1].reshape(-1, nd)          # element x-fastest
 
     # P restricted to one element (identical for every element on the
     # uniform grid): passed in analytically (_p_loc_l2)
     C0 = Bs @ P_loc                                           # (nqpc, ncd)
     ncd = P_loc.shape[1]
 
-    # 1/multiplicity ownership weight of each local fine node (a Q2 node
-    # on an interior element face belongs to 2 elements per shared axis)
-    loff = np.stack(np.meshgrid(*[np.arange(3)] * nd, indexing="ij"),
-                    -1)[..., ::-1].reshape(-1, nd)            # x-fastest
-    gco = 2 * egrid[:, None, :] + loff[None, :, :]            # (nel,nbu,nd)
-    shared = ((loff[None, :, :] % 2 == 0) & (gco > 0)
-              & (gco < (2 * mels)[None, None, :]))
-    multipl = np.prod(np.where(shared, 2.0, 1.0), axis=2)     # (nel, nbu)
-    wbc = np.repeat(1.0 / multipl, nd, axis=1) * bc_u[ue]     # (nel, nud)
-
     A1e = np.empty((nel, ncd, ncd))
     interior = np.all(keep_e == 1.0, axis=1)
+    bidx = np.nonzero(~interior)[0]
+
+    # 1/multiplicity ownership weight of each local fine node (a Q2 node
+    # on an interior element face belongs to 2 elements per shared axis)
+    # -- needed only for the O(surface) BC-touching elements, so the
+    # (nel, nbu, nd) coordinate temporaries are never built (~0.6 s at
+    # mx=32 for rows the interior dgemm ignores)
+    egrid = np.stack(np.meshgrid(
+        *[np.arange(m) for m in reversed(mels)], indexing="ij"),
+        -1)[..., ::-1].reshape(-1, nd)[bidx]    # element x-fastest
+    loff = np.stack(np.meshgrid(*[np.arange(3)] * nd, indexing="ij"),
+                    -1)[..., ::-1].reshape(-1, nd)            # x-fastest
+    gco = 2 * egrid[:, None, :] + loff[None, :, :]            # (nb,nbu,nd)
+    shared = ((loff[None, :, :] % 2 == 0) & (gco > 0)
+              & (gco < (2 * mels)[None, None, :]))
+    multipl = np.prod(np.where(shared, 2.0, 1.0), axis=2)     # (nb, nbu)
+    wbc_b = np.repeat(1.0 / multipl, nd, axis=1) * bc_u[ue[bidx]]
     # interior elements in ONE dgemm: A1e[e] = sum_q s[e,q] C0[q,:]C0[q,:]^T
     # = (s @ K) with K[q, ab] = C0[q,a] C0[q,b] (a batched-tiny-matmul
     # formulation here cost 13 s at mx=32 in temporaries + dispatch)
     K = (C0[:, :, None] * C0[:, None, :]).reshape(C0.shape[0], ncd * ncd)
     A1e[interior] = (s_flat[interior] @ K).reshape(-1, ncd, ncd)
-    bidx = np.nonzero(~interior)[0]
     for c0 in range(0, len(bidx), 4096):
         sel = bidx[c0:c0 + 4096]
+        wsel = wbc_b[c0:c0 + 4096]
         b = len(sel)
         T = keep_e[sel][:, :, None] * P_loc[None]             # (b,nud,ncd)
         # one dgemm for every masked C: Bs @ [T_e | T_e | ...]
         C = (Bs @ T.transpose(1, 0, 2).reshape(T.shape[1], b * ncd))
         C = C.reshape(-1, b, ncd).transpose(1, 0, 2)          # (b,nqpc,ncd)
         blk = np.matmul(C.transpose(0, 2, 1) * s_flat[sel][:, None, :], C)
-        blk += np.matmul(P_loc.T[None] * wbc[sel][:, None, :], P_loc[None])
+        blk += np.matmul(P_loc.T[None] * wsel[:, None, :], P_loc[None])
         A1e[sel] = blk
     return A1e
 
@@ -708,17 +712,20 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
         perm, iperm = parity_permutation(mesh)
 
     # rhs_diri = -(A_raw x_bc), BC rows zeroed (femixedspace.c:2634-2643);
-    # x_bc is zero at pressure dofs so only A11/A21 contribute
+    # x_bc is zero at pressure dofs so only A11/A21 contribute, and only
+    # the O(surface) elements touching a BC node contribute at all --
+    # the GEMMs run on those rows alone (~30x fewer at mx=32)
     with _stage("rhs_diri"):
-        xbe = x_bc[:nu][ue]
-        yue = ((xbe @ Bs.T) * s_flat) @ Bs
+        bce = np.nonzero(bc_u[ue].any(axis=1))[0]
+        xbe = x_bc[:nu][ue[bce]]
+        yue = ((xbe @ Bs.T) * s_flat[bce]) @ Bs
         ype = -((xbe @ Dm_m.T) * fac[None, :]) @ Np_m
         rhs_diri = np.zeros(mesh.ndof)
-        rhs_diri[:nu] = np.bincount(ue.ravel(), weights=yue.ravel(),
+        rhs_diri[:nu] = np.bincount(ue[bce].ravel(), weights=yue.ravel(),
                                     minlength=nu)
-        rhs_diri[nu:] = np.bincount(np.asarray(mesh.p_el_nodes).ravel(),
-                                    weights=ype.ravel(),
-                                    minlength=mesh.np_)
+        rhs_diri[nu:] = np.bincount(
+            np.asarray(mesh.p_el_nodes)[bce].ravel(),
+            weights=ype.ravel(), minlength=mesh.np_)
         rhs_diri = -rhs_diri
         rhs_diri[:nu][np.asarray(bc_idx)] = 0.0
 
@@ -754,11 +761,12 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
     else:
         # factored fine level: diagonal, esteig apply and the L-2 Galerkin
         # matrix all from Bs/s_flat (A11[e] = Bs^T diag(s_e) Bs exactly)
-        keep_e = keep_u[ue]
-        diag_e = s_flat @ (Bs ** 2)               # (nel, nud)
-        fine_diag = bc_u + np.bincount(ue.ravel(),
-                                       weights=(keep_e * diag_e).ravel(),
-                                       minlength=nu)
+        with _stage("fine diagonal"):
+            keep_e = keep_u[ue]
+            diag_e = s_flat @ (Bs ** 2)           # (nel, nud)
+            fine_diag = bc_u + np.bincount(
+                ue.ravel(), weights=(keep_e * diag_e).ravel(),
+                minlength=nu)
 
         ue_flat = ue.ravel()
 
@@ -770,6 +778,22 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
             # slow per-entry inner loop: ~0.15 s per apply at mx=32)
             y = np.bincount(ue_flat, weights=yue.ravel(), minlength=nu)
             return keep_u * y + bc_u * x
+
+        # the fine-level esteig probe (10 GMRES Arnoldi applies, ~1.5 s
+        # of dgemm at mx=32) depends only on fine_diag/s_flat -- run it
+        # on a worker thread OVERLAPPED with the independent L-2/RAP
+        # chain (numpy releases the GIL in BLAS; results are bit-
+        # identical to the sequential order)
+        import threading
+        d_fine_w = np.where(fine_diag == 0.0, 1.0, fine_diag)
+        fine_est = {}
+
+        def _fine_esteig():
+            fine_est["bounds"] = _esteig_bounds(fine_apply, d_fine_w, nu)
+
+        th = threading.Thread(target=_fine_esteig)
+        t_est0 = time.perf_counter()
+        th.start()
 
         with _stage("L-2 Galerkin elements"):
             A1e = _galerkin_l2_elements(mesh, _p_loc_l2(nd), Bs, s_flat,
@@ -785,14 +809,25 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
     diags, bounds = [], []
     for k in range(1, nlevels):
         if k == nlevels - 1:
-            d = fine_diag
-            apply_fn = fine_apply
-            n_lvl = nu
-        else:
-            A = coarse_csrs[k]
-            d = A.diagonal()
-            apply_fn = (lambda v, A=A: A @ np.asarray(v))
-            n_lvl = A.shape[0]
+            d = np.where(fine_diag == 0.0, 1.0, fine_diag)
+            if A00_csr is None:
+                with _stage("fine esteig join"):
+                    th.join()
+                emin, emax = fine_est["bounds"]
+                if os.environ.get("EXSADDLE_SETUP_PROFILE") == "1":
+                    print(f"[setup] fine esteig total (overlapped): "
+                          f"{time.perf_counter() - t_est0:.2f} s",
+                          file=sys.stderr, flush=True)
+            else:
+                with _stage(f"esteig level {k}"):
+                    emin, emax = _esteig_bounds(fine_apply, d, nu)
+            diags.append(d)
+            bounds.append((emin, emax))
+            continue
+        A = coarse_csrs[k]
+        d = A.diagonal()
+        apply_fn = (lambda v, A=A: A @ np.asarray(v))
+        n_lvl = A.shape[0]
         d = np.where(d == 0.0, 1.0, d)
         with _stage(f"esteig level {k}"):
             emin, emax = _esteig_bounds(apply_fn, d, n_lvl)
@@ -843,21 +878,24 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
             (1.0 / d).reshape(lvl_grids[k] + (nd,)), npdt0)))
 
     # Schur p-block: Mpscaled factored weights + Jacobi + Chebyshev bounds
-    if lame:
-        inv = 1.0 / coeff_qp["lambda"] + 1.0 / coeff_qp["mu"]
-    else:
-        inv = 1.0 / coeff_qp["eta"]
-    pscale = -(fes.wq[None, :] * fes.detJ_p) * inv          # (nel, nqp)
-    from exsaddle_tpu.assembly import assemble_schur_pre
-    Sel = assemble_schur_pre(fes, coeff_qp, lame=lame)
-    dmp = np.zeros(mesh.np_)
-    np.add.at(dmp, mesh.p_el_nodes.ravel(),
-              np.einsum("eii->ei", Sel).ravel())
-    import scipy.sparse as sp
-    rows = np.broadcast_to(mesh.p_el_nodes[:, :, None], Sel.shape).ravel()
-    cols = np.broadcast_to(mesh.p_el_nodes[:, None, :], Sel.shape).ravel()
-    Mp = sp.coo_matrix((Sel.ravel(), (rows, cols)),
-                       shape=(mesh.np_, mesh.np_)).tocsr()
+    with _stage("Schur-pre assembly"):
+        if lame:
+            inv = 1.0 / coeff_qp["lambda"] + 1.0 / coeff_qp["mu"]
+        else:
+            inv = 1.0 / coeff_qp["eta"]
+        pscale = -(fes.wq[None, :] * fes.detJ_p) * inv      # (nel, nqp)
+        from exsaddle_tpu.assembly import assemble_schur_pre
+        Sel = assemble_schur_pre(fes, coeff_qp, lame=lame)
+        dmp = np.bincount(mesh.p_el_nodes.ravel(),
+                          weights=np.einsum("eii->ei", Sel).ravel(),
+                          minlength=mesh.np_)
+        import scipy.sparse as sp
+        rows = np.broadcast_to(mesh.p_el_nodes[:, :, None],
+                               Sel.shape).ravel()
+        cols = np.broadcast_to(mesh.p_el_nodes[:, None, :],
+                               Sel.shape).ravel()
+        Mp = sp.coo_matrix((Sel.ravel(), (rows, cols)),
+                           shape=(mesh.np_, mesh.np_)).tocsr()
     # spectrum interval of D^-1 Mp: exact (dense) on small problems,
     # Lanczos + element bracket above (replaces ARPACK: ~2.4 s -> ~0.1 s
     # at mx=32; see p_spectrum_bounds_assembled)
@@ -1082,14 +1120,32 @@ class ABFSolver:
                 # float64 operator for iterative-refinement residuals:
                 # reuse the f64 factored operator the build already made
                 # (scale_visc + masks, not element matrices)
-                op64 = ParityMatFreeOperator.from_matfree(
-                    self.setup["sop"], mesh)
-                aux64 = tree_aux(op64)
+                with _stage("ir op64 build"):
+                    op64 = ParityMatFreeOperator.from_matfree(
+                        self.setup["sop"], mesh)
+                    aux64 = tree_aux(op64)
+        self._xfer = None
         if accel.platform != "cpu":
-            self.data = jax.device_put(self.data, accel)
-            if ir:
-                op64 = jax.device_put(op64, accel)
-                aux64 = jax.device_put(aux64, accel)
+            # background thread: ~160 MB (factored scales, merged
+            # stencils, coarse inverse, f64 IR operator) stream through
+            # the tunnel while the caller proceeds to the first solve's
+            # trace/compile -- device_put blocks for ~2 s at mx=32 and
+            # nothing in setup needs the device buffers
+            import threading
+
+            def _transfer():
+                self.data = jax.device_put(self.data, accel)
+                if ir:
+                    d64 = jax.device_put((self._ir_host[0],
+                                          self._ir_host[1]), accel)
+                    self._ir_host = d64
+
+            self._ir_host = (op64, aux64) if ir else None
+            with _stage("device transfer dispatch"):
+                self._xfer = threading.Thread(target=_transfer)
+                self._xfer.start()
+        elif ir:
+            self._ir_host = (op64, aux64)
         self._solve = jax.jit(make_abf_solver(self.cfg))
         if ir:
             @jax.jit
@@ -1099,7 +1155,13 @@ class ABFSolver:
                                      mult_tree(op64, aux64, x64))
                     return r, treeops.tnorm(r)
 
-            self._ir = (op64, aux64, resid64)
+            self._resid64 = resid64
+            self._ir = True
+
+    def _join_transfer(self):
+        if self._xfer is not None:
+            self._xfer.join()
+            self._xfer = None
 
     def vec_to_tree(self, x_flat):
         """Natural-ordering (ndof,) vector -> parity tree."""
@@ -1118,6 +1180,7 @@ class ABFSolver:
     def solve(self, F_flat, x0_flat=None):
         """Solve A x = F. Returns dict with x (natural ordering), its,
         rnorm, reason, history (list of monitored residuals)."""
+        self._join_transfer()
         Ft = self.vec_to_tree(F_flat)
         x0 = (self.vec_to_tree(x0_flat) if x0_flat is not None
               else treeops.tzeros_like(Ft))
@@ -1147,8 +1210,10 @@ class ABFSolver:
         Returns dict with x (natural ordering, float64), rounds,
         inner_its (total), rnorm (true float64 residual), history (true
         residual per round)."""
-        assert self._ir is not None, "construct with ir=True"
-        op64, aux64, resid64 = self._ir
+        assert self._ir, "construct with ir=True"
+        self._join_transfer()
+        op64, aux64 = self._ir_host
+        resid64 = self._resid64
         perm = self.setup["perm"]
         F64 = to_tree(op64, jnp.asarray(np.asarray(F_flat)[perm],
                                         jnp.float64))

@@ -10,15 +10,22 @@ import os
 
 # The environment may pin JAX_PLATFORMS to a TPU plugin (e.g. "axon"); tests
 # must run on CPU, so override rather than setdefault.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# EXSADDLE_TEST_TPU=1 keeps the real accelerator visible instead -- the
+# opt-in mode for the TPU-only performance-band tests
+# (tests/test_perf_bands.py); the rest of the suite is not expected to
+# digit-match references on TPU arithmetic.
+_ON_TPU = os.environ.get("EXSADDLE_TEST_TPU") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache (suite hygiene): every test jits its own

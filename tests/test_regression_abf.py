@@ -6,7 +6,7 @@ bit-exactly; monitor histories are compared loosely (see
 refcompare.compare_monitor_loose) -- the reference's own 1-rank vs 2-rank
 histories differ comparably for such configs."""
 
-from refcompare import check_against_ref
+from refcompare import ESTEIG_RITZ_OVERRIDES, check_against_ref
 
 ABF = "/root/reference"  # abf.opts lives next to the reference sources
 
@@ -60,6 +60,5 @@ def test_exSaddle3d_pseudoice_1():
         "-saddle_ksp_view -options_file abf.opts -model 11 -size_x 0.1 "
         "-mx 6 -saddle_ksp_monitor_short",
         ndim=3, monitor_mode="loose", cwd=ABF,
-        rtol_overrides=((r"eigenvalues estimate via gmres", 0.65),
-                        (r"eigenvalue estimates used", 0.02)),
+        rtol_overrides=ESTEIG_RITZ_OVERRIDES,
         hist_rtol=0.06, its_slack=1)
