@@ -1220,6 +1220,7 @@ class ABFSolver:
         x64 = treeops.tzeros_like(F64)
         r64, rnorm = resid64(op64, aux64, F64, x64)
         rnorm0 = float(rnorm)
+        rnorm_f = rnorm0
         history = [rnorm0]
         inner_total = 0
         cast32 = lambda t: jax.tree.map(
@@ -1229,25 +1230,32 @@ class ABFSolver:
             rt = cast32(r64)
             dx, its, _, state, _ = self._solve(self.data, rt,
                                                treeops.tzeros_like(rt))
-            inner_total += int(its)
-            if int(state) < 0:
+            # the correction/residual update is dispatched speculatively
+            # (discarded on the rare inner divergence) so the round pays
+            # exactly ONE host sync: separate float()/int() pulls each
+            # cost a full tunnel round trip (~28 ms; four per round was
+            # ~0.4 s of the mx=32 solve)
+            x_try = jax.tree.map(
+                lambda x, d: x + jnp.asarray(d, jnp.float64), x64, dx)
+            r_try, rn_try = resid64(op64, aux64, F64, x_try)
+            state_h, its_h, rn_h = jax.device_get((state, its, rn_try))
+            inner_total += int(its_h)
+            if int(state_h) < 0:
                 # inner solve diverged: a correction built from it would
                 # amplify the residual round over round -- stop honestly
                 # rather than add garbage (round-2 bench failure mode)
                 stalled = True
                 break
-            x_try = jax.tree.map(
-                lambda x, d: x + jnp.asarray(d, jnp.float64), x64, dx)
-            r_try, rn_try = resid64(op64, aux64, F64, x_try)
-            if float(rn_try) >= float(rnorm):
+            rn_f = float(rn_h)
+            if rn_f >= rnorm_f:
                 stalled = True          # no progress: reject the update
                 break
-            x64, r64, rnorm = x_try, r_try, rn_try
-            history.append(float(rnorm))
-            if float(rnorm) <= rtol * rnorm0:
+            x64, r64, rnorm_f = x_try, r_try, rn_f
+            history.append(rn_f)
+            if rn_f <= rtol * rnorm0:
                 break
         flat = np.asarray(from_tree(x64))
         return {"x": flat[self.setup["iperm"]], "rounds": rounds,
-                "inner_its": inner_total, "rnorm": float(rnorm),
+                "inner_its": inner_total, "rnorm": rnorm_f,
                 "rnorm0": rnorm0, "history": history, "stalled": stalled,
-                "converged": float(rnorm) <= rtol * rnorm0}
+                "converged": rnorm_f <= rtol * rnorm0}
