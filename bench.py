@@ -80,7 +80,7 @@ def _build_problem(mx, with_rhs=False):
     return out
 
 
-def bench_solver_kw():
+def bench_solver_kw(env=True):
     """The tuned mixed-precision IR schedule for the flagship bench solve
     (all knobs env-overridable; defaults from the round-5 sweep on the
     v5e at mx=32, medians of 3 solves per variant):
@@ -102,7 +102,14 @@ def bench_solver_kw():
     tensorfloat32 (42 vs 29 ms/outer at mx=16); fixed-V-cycle u-block
     (u_fixed_vcycles=3: 3.56 s -- outer FGMRES bookkeeping eats the
     V-cycle savings); fgmres restart 16 (re-orthogonalization restarts
-    cost iterations)."""
+    cost iterations).
+
+    env=False ignores the BENCH_* environment overrides and returns the
+    committed defaults -- the convergence-anchor tests use this so stale
+    sweep variables in a developer's shell cannot shift their bands."""
+    if not env:
+        return dict(cheb_its=8, rtol=3e-3, gcr_rtol=0.03, gcr_restart=12,
+                    cheb_pre_its=4)
     return dict(
         cheb_its=8,
         rtol=float(os.environ.get("BENCH_INNER_RTOL", "3e-3")),

@@ -789,7 +789,11 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
         fine_est = {}
 
         def _fine_esteig():
-            fine_est["bounds"] = _esteig_bounds(fine_apply, d_fine_w, nu)
+            try:
+                fine_est["bounds"] = _esteig_bounds(fine_apply, d_fine_w,
+                                                    nu)
+            except BaseException as e:       # re-raised at the join site
+                fine_est["error"] = e
 
         th = threading.Thread(target=_fine_esteig)
         t_est0 = time.perf_counter()
@@ -813,6 +817,8 @@ def build_abf(mesh, fes, coeff_qp, bc_idx, bc_vals, lame=False,
             if A00_csr is None:
                 with _stage("fine esteig join"):
                     th.join()
+                if "error" in fine_est:
+                    raise fine_est["error"]
                 emin, emax = fine_est["bounds"]
                 if os.environ.get("EXSADDLE_SETUP_PROFILE") == "1":
                     print(f"[setup] fine esteig total (overlapped): "
@@ -1132,13 +1138,17 @@ class ABFSolver:
             # trace/compile -- device_put blocks for ~2 s at mx=32 and
             # nothing in setup needs the device buffers
             import threading
+            self._xfer_error = None
 
             def _transfer():
-                self.data = jax.device_put(self.data, accel)
-                if ir:
-                    d64 = jax.device_put((self._ir_host[0],
-                                          self._ir_host[1]), accel)
-                    self._ir_host = d64
+                try:
+                    self.data = jax.device_put(self.data, accel)
+                    if ir:
+                        d64 = jax.device_put((self._ir_host[0],
+                                              self._ir_host[1]), accel)
+                        self._ir_host = d64
+                except BaseException as e:   # re-raised at the join site
+                    self._xfer_error = e
 
             self._ir_host = (op64, aux64) if ir else None
             with _stage("device transfer dispatch"):
@@ -1162,6 +1172,11 @@ class ABFSolver:
         if self._xfer is not None:
             self._xfer.join()
             self._xfer = None
+            if self._xfer_error is not None:
+                # a device_put failure (e.g. HBM OOM) must fail the solve
+                # loudly, not leave host-resident data silently
+                # re-uploading on every jitted call
+                raise self._xfer_error
 
     def vec_to_tree(self, x_flat):
         """Natural-ordering (ndof,) vector -> parity tree."""
@@ -1189,12 +1204,7 @@ class ABFSolver:
         its = int(its)
         hist = np.asarray(hist)
         history = [float(h) for h in hist[: its + 1] if h >= 0.0]
-        reason = {treeops.CONVERGED_RTOL: "CONVERGED_RTOL",
-                  treeops.CONVERGED_ATOL: "CONVERGED_ATOL",
-                  treeops.CONVERGED_HAPPY: "CONVERGED_HAPPY_BREAKDOWN",
-                  treeops.DIVERGED_ITS: "DIVERGED_ITS",
-                  treeops.DIVERGED_DTOL: "DIVERGED_DTOL"}.get(int(state),
-                                                              str(int(state)))
+        reason = treeops.reason_name(state)
         return {"x": self.tree_to_vec(x), "its": its,
                 "rnorm": float(rnorm), "reason": reason,
                 "history": history}

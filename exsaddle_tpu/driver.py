@@ -242,13 +242,8 @@ def _choose_dev_shape(m_el, ndev):
 
 
 def _reason_from_state(state):
-    from exsaddle_tpu import treeops
-    return {treeops.CONVERGED_RTOL: "CONVERGED_RTOL",
-            treeops.CONVERGED_ATOL: "CONVERGED_ATOL",
-            treeops.CONVERGED_HAPPY: "CONVERGED_HAPPY_BREAKDOWN",
-            treeops.DIVERGED_ITS: "DIVERGED_ITS",
-            treeops.DIVERGED_DTOL: "DIVERGED_DTOL"}.get(int(state),
-                                                        str(int(state)))
+    from exsaddle_tpu.treeops import reason_name
+    return reason_name(state)
 
 
 class _JittedKSPShim:
@@ -452,9 +447,18 @@ def saddle_solve(opts, ndim, lame=False, log=print, nranks=1):
                     "(mixed-precision refinement is the single-device "
                     "path); -rtol_true ignored")
             part = CartPartition(mesh, cart_shape)
+            # multi-PROCESS runtimes (mpiexec-style pod slices) get the
+            # HostComm so each process assembles only its own boxes and
+            # the setup partials ride the DCN reduction channels -- the
+            # O(local) path of parallel/multihost.py
+            comm = None
+            if jax.process_count() > 1:
+                from exsaddle_tpu.parallel.multihost import HostComm
+                comm = HostComm()
             slv = CartABFSolver(part, ctx, fine.bc_idx, fine.bc_vals,
                                 jax.devices(), lame=lame,
-                                dtype=jnp.float64, **cfg_common)
+                                dtype=jnp.float64, multihost=comm,
+                                **cfg_common)
             mode = "cart"
         elif ir_flag:
             # mixed-precision iterative refinement: float32 inner ABF

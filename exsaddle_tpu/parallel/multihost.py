@@ -154,14 +154,11 @@ class HostComm:
         only the slabs of its OWN addressable devices, so in a real
         multi-process runtime this is pure local placement (zero DCN
         bytes; jax.make_array_from_process_local_data consumes exactly
-        the local shards). The generic real leg below fills non-local
-        slabs via allgather only because `jax.device_put` of a global
-        numpy array needs the full array on every process; simulated
-        topologies sum the other hosts' disjoint slabs in-process."""
-        if self._allreduce is not None:
-            return self._allreduce(stack, tag)
-        if self.n_hosts == 1:
-            return stack
+        the local shards). The generic fallback sums the disjoint slabs
+        through the same channel as allreduce_dense (the per-box writes
+        are disjoint, so the sum IS the placement); the separate method
+        keeps the intent -- and the payload class -- distinguishable to
+        callers and tests."""
         return self.allreduce_dense(stack, tag)
 
     def allreduce_minmax(self, bounds):

@@ -34,6 +34,18 @@ DIVERGED_ITS = -3
 DIVERGED_DTOL = -4
 
 
+def reason_name(state):
+    """PETSc-style reason string for a jitted-solver state code (the ONE
+    mapping shared by ABFSolver, CartABFSolver consumers and the driver
+    shim)."""
+    return {CONVERGED_RTOL: "CONVERGED_RTOL",
+            CONVERGED_ATOL: "CONVERGED_ATOL",
+            CONVERGED_HAPPY: "CONVERGED_HAPPY_BREAKDOWN",
+            DIVERGED_ITS: "DIVERGED_ITS",
+            DIVERGED_DTOL: "DIVERGED_DTOL"}.get(int(state),
+                                                str(int(state)))
+
+
 # --- tree-vector helpers ----------------------------------------------------
 
 def tdot(a, b):

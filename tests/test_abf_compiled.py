@@ -121,7 +121,7 @@ def test_abf_bench_scale_anchor_mx16():
     from bench import bench_solver_kw
     slv, F = _setup_case(3, (16, 16, 16), (0.1, 1.0, 1.0), 11,
                          nlevels=3, ir=True, dtype=jnp.float32,
-                         **bench_solver_kw())
+                         **bench_solver_kw(env=False))
     res = slv.solve_ir(F, rtol=1e-8)
     assert res["converged"]
     assert abs(res["rounds"] - 4) <= 1
