@@ -1,15 +1,18 @@
 """Sweep ABF solver configs at BENCH-like settings; report time/its.
 Usage: python _exp_sweep.py <mx> <name=json-kwargs> [...]"""
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
-import os
 cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
