@@ -88,7 +88,8 @@ def bench_solver_kw(env=True):
       abf.opts-faithful inner settings      3.66 s / 28 its
       gcr_rtol 3e-2                         2.99 s / 34 its
       + gcr_restart 12 + cheb_pre_its 4     2.72 s / 35 its
-      + inner FGMRES rtol 3e-3              2.54 s / 30 its   <- default
+      + inner FGMRES rtol 3e-3              2.54 s / 30 its / 4 rounds
+      + inner FGMRES rtol 3e-4              2.11 s / 27 its / 3 rounds <- default
 
     The u-block GCR tolerance loosens 1e-2 -> 3e-2 (the outer flexible
     FGMRES absorbs the weaker inner solve at ~+2 outer its for ~40% less
@@ -96,8 +97,10 @@ def bench_solver_kw(env=True):
     iterations actually used (12 > the ~6-9 its/call; identical math,
     less Gram-Schmidt traffic), the V-cycle pre-smooth drops to 4
     Chebyshev its (post stays 8), and the per-round inner FGMRES stops at
-    3e-3. The TRUE float64 1e-8 target is unchanged and verified per
-    round. Rejected with evidence: pc_matmul_precision bfloat16 (V-cycle
+    3e-4 -- tight enough that THREE refinement rounds reach the true
+    1e-8 target (5e-4 tips into a 4th round: 3.08 s / 38 its; 2e-4 is
+    the plateau's other edge at 2.17 s / 28 its). The TRUE float64 1e-8
+    target is unchanged and verified per round. Rejected with evidence: pc_matmul_precision bfloat16 (V-cycle
     quality collapses; inner its explode, 20.2 s at mx=16) and
     tensorfloat32 (42 vs 29 ms/outer at mx=16); fixed-V-cycle u-block
     (u_fixed_vcycles=3: 3.56 s -- outer FGMRES bookkeeping eats the
@@ -108,11 +111,11 @@ def bench_solver_kw(env=True):
     committed defaults -- the convergence-anchor tests use this so stale
     sweep variables in a developer's shell cannot shift their bands."""
     if not env:
-        return dict(cheb_its=8, rtol=3e-3, gcr_rtol=0.03, gcr_restart=12,
+        return dict(cheb_its=8, rtol=3e-4, gcr_rtol=0.03, gcr_restart=12,
                     cheb_pre_its=4)
     return dict(
         cheb_its=8,
-        rtol=float(os.environ.get("BENCH_INNER_RTOL", "3e-3")),
+        rtol=float(os.environ.get("BENCH_INNER_RTOL", "3e-4")),
         gcr_rtol=float(os.environ.get("BENCH_GCR_RTOL", "0.03")),
         gcr_restart=int(os.environ.get("BENCH_GCR_RESTART", "12")),
         cheb_pre_its=int(os.environ.get("BENCH_CHEB_PRE", "4")),

@@ -115,7 +115,7 @@ def test_abf_bench_scale_anchor_mx16():
     silently trade iterations for seconds. mx=16 pseudoice in the EXACT
     bench configuration (bench.bench_solver_kw: the tuned round-5 IR
     schedule -- the import keeps this anchor and the bench in lockstep):
-    measured 36 inner its / 4 IR rounds -- assert +-1 round and a
+    measured 34 inner its / 3 IR rounds -- assert +-1 round and a
     +-20% iteration band (VERDICT r4 weak #6: the old 20-45 band allowed
     a 2x iteration inflation to pass)."""
     from bench import bench_solver_kw
@@ -124,8 +124,8 @@ def test_abf_bench_scale_anchor_mx16():
                          **bench_solver_kw(env=False))
     res = slv.solve_ir(F, rtol=1e-8)
     assert res["converged"]
-    assert abs(res["rounds"] - 4) <= 1
-    assert 29 <= res["inner_its"] <= 43, res["inner_its"]
+    assert abs(res["rounds"] - 3) <= 1
+    assert 27 <= res["inner_its"] <= 41, res["inner_its"]
 
 
 def test_abf_four_levels_stencil_path():

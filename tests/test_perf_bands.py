@@ -6,7 +6,7 @@ mx=32 iteration/round counts against stored bands.
 Bands are set from round-5 measurements on the tunneled v5e with ~30%
 headroom for the chip's documented run-to-run variance (the bench now
 reports min/median/max spreads): apply median ~0.45-0.6 ms, tuned solve
-~85 ms/outer / 30 its / 4 rounds. A regression of the round-3->4 kind
+~78 ms/outer / 27 its / 3 rounds. A regression of the round-3->4 kind
 (ms/outer 115 -> 132) or an iteration blowup fails here; impossibly fast
 values (the tunnel's block_until_ready early-return failure mode) fail
 the lower bounds.
@@ -50,5 +50,5 @@ def test_solve_bands_mx32():
     ms = r["solve_ms_per_outer_it"]
     assert 40.0 <= ms <= 120.0, f"ms/outer {ms} outside [40, 120]"
     its = r["solve_outer_its"]
-    assert 24 <= its <= 38, f"inner its {its} outside [24, 38]"
-    assert 3 <= r["solve_ir_rounds"] <= 5, r["solve_ir_rounds"]
+    assert 21 <= its <= 34, f"inner its {its} outside [21, 34]"
+    assert 2 <= r["solve_ir_rounds"] <= 4, r["solve_ir_rounds"]
