@@ -105,7 +105,8 @@ def bench_solver_kw(env=True):
     tensorfloat32 (42 vs 29 ms/outer at mx=16); fixed-V-cycle u-block
     (u_fixed_vcycles=3: 3.56 s -- outer FGMRES bookkeeping eats the
     V-cycle savings); fgmres restart 16 (re-orthogonalization restarts
-    cost iterations).
+    cost iterations); gcr_restart 8 (truncation below the ~6-9 its the
+    u-solve needs: 4.94 s); p_cheb_its 10 (2.47 s, +3 outer its).
 
     env=False ignores the BENCH_* environment overrides and returns the
     committed defaults -- the convergence-anchor tests use this so stale
