@@ -89,7 +89,8 @@ def bench_solver_kw(env=True):
       gcr_rtol 3e-2                         2.99 s / 34 its
       + gcr_restart 12 + cheb_pre_its 4     2.72 s / 35 its
       + inner FGMRES rtol 3e-3              2.54 s / 30 its / 4 rounds
-      + inner FGMRES rtol 3e-4              2.11 s / 27 its / 3 rounds <- default
+      + inner FGMRES rtol 3e-4              2.11 s / 27 its / 3 rounds
+      + refinement loop fused on device     1.96-2.16 s          <- default
 
     The u-block GCR tolerance loosens 1e-2 -> 3e-2 (the outer flexible
     FGMRES absorbs the weaker inner solve at ~+2 outer its for ~40% less
@@ -99,8 +100,10 @@ def bench_solver_kw(env=True):
     Chebyshev its (post stays 8), and the per-round inner FGMRES stops at
     3e-4 -- tight enough that THREE refinement rounds reach the true
     1e-8 target (5e-4 tips into a 4th round: 3.08 s / 38 its; 2e-4 is
-    the plateau's other edge at 2.17 s / 28 its). The TRUE float64 1e-8
-    target is unchanged and verified per round. Rejected with evidence: pc_matmul_precision bfloat16 (V-cycle
+    the plateau's other edge at 2.17 s / 28 its). The whole refinement
+    loop then runs as ONE jitted while_loop (abf.make_ir_solver) --
+    the host-orchestrated round loop paid ~0.3-0.7 s of dispatch gaps.
+    The TRUE float64 1e-8 target is unchanged and verified per round. Rejected with evidence: pc_matmul_precision bfloat16 (V-cycle
     quality collapses; inner its explode, 20.2 s at mx=16) and
     tensorfloat32 (42 vs 29 ms/outer at mx=16); fixed-V-cycle u-block
     (u_fixed_vcycles=3: 3.56 s -- outer FGMRES bookkeeping eats the

@@ -1103,6 +1103,74 @@ def make_abf_solver(cfg):
     return solver
 
 
+def make_ir_solver(cfg, wdt, max_rounds=10):
+    """Mixed-precision iterative refinement as ONE traced computation: the
+    outer float64-residual correction loop is a `lax.while_loop` whose
+    body runs the full jitted ABF solve (make_abf_solver) in the working
+    dtype `wdt` -- zero host round trips between refinement rounds. The
+    host-orchestrated loop paid ~0.7 s of dispatch/sync gaps around its
+    3-4 inner-solve calls at mx=32 (device busy time 1.6 s vs 2.3 s wall).
+
+    Semantics are exactly ABFSolver.solve_ir's host loop: at least one
+    round always runs; a diverged inner solve or a non-contracting
+    correction REJECTS the update and stops (stalled); otherwise the loop
+    continues until the true float64 residual falls below rtol * ||r0||
+    or max_rounds is hit.
+
+    Returns solve(data, op64, aux64, F64, rtol, n_rounds) ->
+    (x64, rounds, inner_total, rnorm, rnorm0, history, stalled); rtol and
+    n_rounds (<= the static max_rounds history bound) are traced scalars,
+    so neither forces a recompile."""
+    inner = make_abf_solver(cfg)
+
+    def resid(op64, aux64, F64, x64):
+        with jax.default_matmul_precision("float32"):
+            r = jax.tree.map(jnp.subtract, F64,
+                             mult_tree(op64, aux64, x64))
+            return r, treeops.tnorm(r)
+
+    def solve(data, op64, aux64, F64, rtol, n_rounds):
+        x0 = treeops.tzeros_like(F64)
+        r0, rnorm0 = resid(op64, aux64, F64, x0)
+        hist = jnp.full((max_rounds + 1,), -1.0, jnp.float64)
+        hist = hist.at[0].set(rnorm0)
+
+        def cond(c):
+            (x64, r64, rnorm, rounds, inner_total, hist, done,
+             stalled) = c
+            return jnp.logical_not(done) & (rounds < n_rounds)
+
+        def body(c):
+            (x64, r64, rnorm, rounds, inner_total, hist, done,
+             stalled) = c
+            rt = jax.tree.map(lambda a: jnp.asarray(a, wdt), r64)
+            dx, its, _, state, _ = inner(data, rt,
+                                         treeops.tzeros_like(rt))
+            x_try = jax.tree.map(
+                lambda x, d: x + jnp.asarray(d, jnp.float64), x64, dx)
+            r_try, rn_try = resid(op64, aux64, F64, x_try)
+            rounds = rounds + 1
+            inner_total = inner_total + its
+            accept = (state >= 0) & (rn_try < rnorm)
+            sel = lambda a, b: jnp.where(accept, a, b)
+            x64 = jax.tree.map(sel, x_try, x64)
+            r64 = jax.tree.map(sel, r_try, r64)
+            rnorm = jnp.where(accept, rn_try, rnorm)
+            hist = jnp.where(accept, hist.at[rounds].set(rn_try), hist)
+            stalled = jnp.logical_not(accept)
+            done = stalled | (accept & (rnorm <= rtol * rnorm0))
+            return (x64, r64, rnorm, rounds, inner_total, hist, done,
+                    stalled)
+
+        c0 = (x0, r0, rnorm0, jnp.int32(0), jnp.int32(0), hist,
+              jnp.bool_(False), jnp.bool_(False))
+        (x64, r64, rnorm, rounds, inner_total, hist, done,
+         stalled) = lax.while_loop(cond, body, c0)
+        return x64, rounds, inner_total, rnorm, rnorm0, hist, stalled
+
+    return solve
+
+
 class ABFSolver:
     """Host-facing wrapper: setup + jitted solve + monitor formatting."""
 
@@ -1158,14 +1226,8 @@ class ABFSolver:
             self._ir_host = (op64, aux64)
         self._solve = jax.jit(make_abf_solver(self.cfg))
         if ir:
-            @jax.jit
-            def resid64(op64, aux64, F64, x64):
-                with jax.default_matmul_precision("float32"):
-                    r = jax.tree.map(jnp.subtract, F64,
-                                     mult_tree(op64, aux64, x64))
-                    return r, treeops.tnorm(r)
-
-            self._resid64 = resid64
+            self._solve_ir_fn = jax.jit(make_ir_solver(self.cfg,
+                                                       self.dtype))
             self._ir = True
 
     def _join_transfer(self):
@@ -1221,51 +1283,31 @@ class ABFSolver:
         inner_its (total), rnorm (true float64 residual), history (true
         residual per round)."""
         assert self._ir, "construct with ir=True"
+        assert max_rounds <= 10, "make_ir_solver compiles for <= 10 rounds"
         self._join_transfer()
         op64, aux64 = self._ir_host
-        resid64 = self._resid64
         perm = self.setup["perm"]
         F64 = to_tree(op64, jnp.asarray(np.asarray(F_flat)[perm],
                                         jnp.float64))
-        x64 = treeops.tzeros_like(F64)
-        r64, rnorm = resid64(op64, aux64, F64, x64)
-        rnorm0 = float(rnorm)
-        rnorm_f = rnorm0
-        history = [rnorm0]
-        inner_total = 0
-        cast32 = lambda t: jax.tree.map(
-            lambda a: jnp.asarray(a, self.dtype), t)
-        stalled = False
-        for rounds in range(1, max_rounds + 1):
-            rt = cast32(r64)
-            dx, its, _, state, _ = self._solve(self.data, rt,
-                                               treeops.tzeros_like(rt))
-            # the correction/residual update is dispatched speculatively
-            # (discarded on the rare inner divergence) so the round pays
-            # exactly ONE host sync: separate float()/int() pulls each
-            # cost a full tunnel round trip (~28 ms; four per round was
-            # ~0.4 s of the mx=32 solve)
-            x_try = jax.tree.map(
-                lambda x, d: x + jnp.asarray(d, jnp.float64), x64, dx)
-            r_try, rn_try = resid64(op64, aux64, F64, x_try)
-            state_h, its_h, rn_h = jax.device_get((state, its, rn_try))
-            inner_total += int(its_h)
-            if int(state_h) < 0:
-                # inner solve diverged: a correction built from it would
-                # amplify the residual round over round -- stop honestly
-                # rather than add garbage (round-2 bench failure mode)
-                stalled = True
-                break
-            rn_f = float(rn_h)
-            if rn_f >= rnorm_f:
-                stalled = True          # no progress: reject the update
-                break
-            x64, r64, rnorm_f = x_try, r_try, rn_f
-            history.append(rn_f)
-            if rn_f <= rtol * rnorm0:
-                break
+        # the ENTIRE refinement loop is one jitted while_loop
+        # (make_ir_solver): inner f32 solves, f64 residuals, accept/
+        # reject and the convergence test all run on device -- the
+        # host-orchestrated round loop paid ~0.7 s of dispatch gaps at
+        # mx=32. max_rounds stays inside the compiled bound; rtol is a
+        # traced scalar (no recompile per tolerance).
+        x64, rounds, inner_total, rnorm, rnorm0, hist, stalled = \
+            self._solve_ir_fn(self.data, op64, aux64, F64,
+                              jnp.float64(rtol), jnp.int32(max_rounds))
+        (rounds, inner_total, rnorm, rnorm0, hist, stalled) = \
+            jax.device_get((rounds, inner_total, rnorm, rnorm0, hist,
+                            stalled))
+        rounds = max(int(rounds), min(1, max_rounds))
+        history = [float(h) for h in hist if h >= 0.0]
+        rnorm_f = float(rnorm)
+        rnorm0 = float(rnorm0)
         flat = np.asarray(from_tree(x64))
         return {"x": flat[self.setup["iperm"]], "rounds": rounds,
-                "inner_its": inner_total, "rnorm": rnorm_f,
-                "rnorm0": rnorm0, "history": history, "stalled": stalled,
+                "inner_its": int(inner_total), "rnorm": rnorm_f,
+                "rnorm0": rnorm0, "history": history,
+                "stalled": bool(stalled),
                 "converged": rnorm_f <= rtol * rnorm0}
