@@ -577,6 +577,10 @@ def make_cart_abf_solver(dcfg):
     """Return local_solver(dd, F, x0) to be run under shard_map over the
     cartesian device mesh. F/x0: local parity trees (subs list, p grid)."""
     cfg = dcfg.base
+    # zero-guess pre-smooths skip the initial A x0 apply (bit-identical)
+    # and may run fewer iterations than the post-smooth (abf.ABFConfig
+    # cheb_pre_its; 0 = symmetric)
+    pre_its = cfg.cheb_pre_its if cfg.cheb_pre_its > 0 else cfg.cheb_its
     nd = cfg.ndim
     nlev = cfg.nlevels
     mloc = dcfg.mloc
@@ -685,8 +689,8 @@ def make_cart_abf_solver(dcfg):
             emin, emax = dd["bounds"][k - 1]
             invd = dd["inv_diag_repl"][k - 1]
             pc = lambda t: invd * t
-            x = treeops.cheb_smooth(A, pc, emin, emax, cfg.cheb_its, b,
-                                    jnp.zeros_like(b))
+            x = treeops.cheb_smooth(A, pc, emin, emax, pre_its, b,
+                                    jnp.zeros_like(b), x0_zero=True)
             r = b - A(x)
             xc = repl_vcycle(k - 1, restrict_grid(r, cfg.level_grids[k - 1]))
             x = x + prolong_grid(xc, cfg.level_grids[k])
@@ -697,12 +701,13 @@ def make_cart_abf_solver(dcfg):
         invd1 = dd["inv_diag_l1"]
         pc1 = lambda t: invd1 * t
 
-        def smooth_l1(b, x0v):
+        def smooth_l1(b, x0v, pre=False):
             return treeops.cheb_smooth(lvl1A, pc1, emin1, emax1,
-                                       cfg.cheb_its, b, x0v)
+                                       pre_its if pre else cfg.cheb_its,
+                                       b, x0v, x0_zero=pre)
 
         def vcycle_l1(b):
-            x = smooth_l1(b, jnp.zeros_like(b))
+            x = smooth_l1(b, jnp.zeros_like(b), pre=True)
             r = b - lvl1A(x)
             r_rep = restrict_grid(l1_to_replicated(r),
                                   cfg.level_grids[nlev - 3]
@@ -720,12 +725,13 @@ def make_cart_abf_solver(dcfg):
         invdf = dd["inv_diag_fine"]
         pcf = lambda t: [a * b for a, b in zip(invdf, t)]
 
-        def smooth_fine(b, x0v):
+        def smooth_fine(b, x0v, pre=False):
             return treeops.cheb_smooth(fineA, pcf, eminf, emaxf,
-                                       cfg.cheb_its, b, x0v)
+                                       pre_its if pre else cfg.cheb_its,
+                                       b, x0v, x0_zero=pre)
 
         def mg_pc(r):
-            x = smooth_fine(r, treeops.tzeros_like(r))
+            x = smooth_fine(r, treeops.tzeros_like(r), pre=True)
             rr = treeops.tsub(r, fineA(x))
             r1 = halo_p_grid(restrict_parity(
                 [w * s for w, s in zip(w_subs, rr)], cls_loc, mloc))
@@ -746,7 +752,7 @@ def make_cart_abf_solver(dcfg):
         def p_solve(bp):
             return treeops.cheb_smooth(p_mult, lambda g: inv_dp * g,
                                        p_emin, p_emax, cfg.p_cheb_its, bp,
-                                       jnp.zeros_like(bp))
+                                       jnp.zeros_like(bp), x0_zero=True)
 
         def pc_apply(t):
             bu, bp = t
